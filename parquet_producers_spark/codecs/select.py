@@ -1,0 +1,120 @@
+"""Statistics-driven codec auto-selection (SURVEY.md §2.3, north_rule).
+
+Per column chunk we compute cheap stats (cardinality, run count, value
+range, monotonicity, byte widths) with ``pyarrow.compute``, shortlist
+candidate codecs from a rule table, then *measure* each shortlisted
+candidate on a bounded sample slice and pick the smallest. Stats prune,
+samples decide — guessing from stats alone mispredicts FSST-vs-dict on
+real text.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .base import encode_array
+
+SAMPLE_ROWS = 4096
+MIN_FULL_ENCODE = 512  # below this, skip sampling and just try everything
+
+
+@dataclass
+class ColumnStats:
+    n: int
+    n_nulls: int
+    n_distinct: int
+    n_runs: int
+    nbytes: int
+    vmin: int | None = None
+    vmax: int | None = None
+    monotone_frac: float | None = None
+    avg_len: float | None = None
+
+    def as_dict(self) -> dict[str, Any]:
+        return {k: v for k, v in self.__dict__.items() if v is not None}
+
+
+def column_stats(arr: pa.Array) -> ColumnStats:
+    n = len(arr)
+    if n == 0:
+        return ColumnStats(0, 0, 0, 0, 0)
+    n_runs = 1
+    if n > 1:
+        eq = pc.equal(arr.slice(1), arr.slice(0, n - 1))
+        n_runs = n - pc.sum(eq).as_py() if pc.sum(eq).as_py() is not None else n
+    st = ColumnStats(
+        n=n,
+        n_nulls=arr.null_count,
+        n_distinct=pc.count_distinct(arr).as_py(),
+        n_runs=n_runs,
+        nbytes=arr.nbytes,
+    )
+    t = arr.type
+    if pa.types.is_integer(t):
+        nn = arr.drop_null() if arr.null_count else arr
+        if len(nn):
+            st.vmin = pc.min(nn).as_py()
+            st.vmax = pc.max(nn).as_py()
+            if n > 1:
+                import numpy as np
+
+                v = nn.to_numpy(zero_copy_only=False)
+                st.monotone_frac = float((np.diff(v) >= 0).mean()) if len(v) > 1 else 1.0
+    elif pa.types.is_string(t) or pa.types.is_large_string(t):
+        st.avg_len = (arr.nbytes - 4 * n) / max(n, 1)
+    return st
+
+
+def candidate_codecs(arr: pa.Array, stats: ColumnStats) -> list[str]:
+    """Rule table: shortlist codecs worth measuring for this chunk."""
+    t = arr.type
+    n = max(stats.n, 1)
+    cands = ["plain"]
+    if pa.types.is_integer(t):
+        cands.append("for")
+        if stats.vmin is not None and stats.vmin >= 0:
+            cands.append("bitpack")
+        if stats.monotone_frac is not None and stats.monotone_frac > 0.5:
+            cands.append("delta")
+        if stats.n_runs / n < 0.5:
+            cands.append("rle")
+        if stats.n_distinct / n < 0.05:
+            cands.append("dict")
+    elif pa.types.is_string(t) or pa.types.is_large_string(t):
+        if stats.n_distinct / n < 0.6:
+            cands.append("dict")
+        if stats.n_runs / n < 0.5:
+            cands.append("rle")
+        if (stats.avg_len or 0) >= 4 and stats.n_distinct / n > 0.01:
+            cands.append("fsst")
+    return cands
+
+
+@dataclass
+class Choice:
+    codec: str
+    sample_sizes: dict[str, int] = field(default_factory=dict)
+
+
+def choose_codec(arr: pa.Array, stats: ColumnStats | None = None,
+                 cascade: bool = False) -> Choice:
+    """Pick the codec with the smallest measured size on a sample slice."""
+    if stats is None:
+        stats = column_stats(arr)
+    cands = candidate_codecs(arr, stats)
+    if len(cands) == 1:
+        return Choice("plain")
+    sample = arr if stats.n <= max(SAMPLE_ROWS, MIN_FULL_ENCODE) else arr.slice(0, SAMPLE_ROWS)
+    sizes: dict[str, int] = {}
+    for name in cands:
+        try:
+            blob, params = encode_array(sample, name, cascade=cascade)
+            sizes[name] = len(blob)
+        except (ValueError, TypeError):
+            continue
+    best = min(sizes, key=sizes.get)  # type: ignore[arg-type]
+    return Choice(best, sizes)
