@@ -1,0 +1,212 @@
+"""Distributed column-chunk encode/decode via ``mapInArrow``.
+
+The encode path is the Spark analogue of the reference's sorted-write
+pipeline (reference: Parquet.Producers/Parquet/BufferedWriter.cs:5-50 —
+row-group buffered append; MergeSorter.cs:25-69 — external sort):
+
+1. ``repartitionByRange(sort_cols)`` + ``sortWithinPartitions`` — Spark's
+   shuffle sort replaces the reference's hand-rolled external merge sort,
+   and gives every Arrow batch sorted runs (what makes RLE/dict/FOR
+   effective — reference README.md:104);
+2. ``mapInArrow`` slices each partition into ~``chunk_rows`` chunks and
+   encodes every column with the stats-selected codec — all numpy/Arrow
+   kernel work, zero per-row Python;
+3. the output is a *chunk table*: one row per (chunk, column) with the
+   encoded blob, codec id, JSON params and size metrics. Written as
+   Parquet (uncompressed — our codecs own compression) it is this
+   engine's at-rest format.
+
+A deterministic ``row_id`` tiebreaker can be added by the caller when the
+sort key admits ties, so output bytes do not vary with partition count
+(SURVEY.md §7.3 "bit-identity under parallelism").
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame
+
+from .codecs import choose_codec, column_stats, decode_array, encode_array
+
+CHUNK_ROWS = 65536
+
+# Arrow schema of the chunk table
+CHUNK_ARROW_SCHEMA = pa.schema([
+    ("part_id", pa.int32()),
+    ("chunk_seq", pa.int32()),
+    ("col_idx", pa.int32()),
+    ("column", pa.string()),
+    ("codec", pa.string()),
+    ("params", pa.string()),
+    ("n_rows", pa.int64()),
+    ("raw_bytes", pa.int64()),
+    ("enc_bytes", pa.int64()),
+    ("data", pa.large_binary()),
+])
+
+CHUNK_SPARK_SCHEMA = (
+    "part_id int, chunk_seq int, col_idx int, column string, codec string, params string,"
+    " n_rows long, raw_bytes long, enc_bytes long, data binary"
+)
+
+
+def _encode_chunk(tbl: pa.Table, pid: int, seq: int, cascade: bool) -> pa.RecordBatch:
+    names, codecs, params_l, nrows_l, raw_l, enc_l, blobs = [], [], [], [], [], [], []
+    for name in tbl.column_names:
+        arr = tbl.column(name).combine_chunks()
+        stats = column_stats(arr)
+        choice = choose_codec(arr, stats, cascade=cascade)
+        blob, params = encode_array(arr, choice.codec, cascade=cascade)
+        params["atype"] = str(arr.type)
+        params["stats"] = stats.as_dict()
+        names.append(name)
+        codecs.append(choice.codec)
+        params_l.append(json.dumps(params, separators=(",", ":")))
+        nrows_l.append(len(arr))
+        raw_l.append(arr.nbytes)
+        enc_l.append(len(blob))
+        blobs.append(blob)
+    n = len(names)
+    return pa.record_batch(
+        [
+            pa.array([pid] * n, pa.int32()),
+            pa.array([seq] * n, pa.int32()),
+            pa.array(list(range(n)), pa.int32()),
+            pa.array(names, pa.string()),
+            pa.array(codecs, pa.string()),
+            pa.array(params_l, pa.string()),
+            pa.array(nrows_l, pa.int64()),
+            pa.array(raw_l, pa.int64()),
+            pa.array(enc_l, pa.int64()),
+            pa.array(blobs, pa.large_binary()),
+        ],
+        schema=CHUNK_ARROW_SCHEMA,
+    )
+
+
+def encode_partitions(
+    df: DataFrame,
+    sort_cols: list[str] | None = None,
+    partitions: int | None = None,
+    chunk_rows: int = CHUNK_ROWS,
+    cascade: bool = False,
+) -> DataFrame:
+    """Sorted-encode ``df`` into the chunk table (one row per chunk×column)."""
+    if sort_cols:
+        n = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        df = df.repartitionByRange(int(n), *sort_cols).sortWithinPartitions(*sort_cols)
+    elif partitions:
+        df = df.repartition(partitions)
+
+    def enc(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        pending: list[pa.RecordBatch] = []
+        rows = 0
+        seq = 0
+        for b in batches:
+            pending.append(b)
+            rows += b.num_rows
+            if rows >= chunk_rows:
+                yield _encode_chunk(pa.Table.from_batches(pending), pid, seq, cascade)
+                pending, rows = [], 0
+                seq += 1
+        if pending:
+            yield _encode_chunk(pa.Table.from_batches(pending), pid, seq, cascade)
+
+    return df.mapInArrow(enc, schema=CHUNK_SPARK_SCHEMA)
+
+
+def decode_chunks(chunks: DataFrame, ordered: bool = True) -> DataFrame:
+    """Inverse of :func:`encode_partitions`: chunk table → original rows.
+
+    Chunks are decoded group-wise; all columns of one chunk travel
+    together. ``ordered`` re-sorts by (part_id, chunk_seq) so the global
+    row order of the sorted encode is reproduced.
+    """
+    from pyspark.sql import functions as F
+
+    # recover the original column schema from the stored arrow type names
+    heads = (
+        chunks.groupBy("col_idx", "column")
+        .agg(F.first("params").alias("params"))
+        .orderBy("col_idx")
+        .collect()
+    )
+    if not heads:
+        raise ValueError("empty chunk table")
+    fields = [
+        pa.field(r["column"], _arrow_type(json.loads(r["params"])["atype"]))
+        for r in heads
+    ]
+    out_schema = pa.schema(
+        [pa.field("part_id", pa.int32()), pa.field("chunk_seq", pa.int32())] + fields
+    )
+    spark_schema = ", ".join(
+        ["part_id int", "chunk_seq int"]
+        + [f"{f.name} {_spark_type(f.type)}" for f in fields]
+    )
+    col_names = [f.name for f in fields]
+
+    def dec(pdf):
+        pid = int(pdf["part_id"].iloc[0])
+        seq = int(pdf["chunk_seq"].iloc[0])
+        arrays = {}
+        for _, row in pdf.iterrows():  # ≤ n_cols rows, not data rows
+            arrays[row["column"]] = decode_array(
+                bytes(row["data"]), json.loads(row["params"])
+            )
+        n = len(next(iter(arrays.values())))
+        cols = [pa.array([pid] * n, pa.int32()), pa.array([seq] * n, pa.int32())]
+        cols += [arrays[c] for c in col_names]
+        return pa.table(cols, schema=out_schema).to_pandas()
+
+    out = chunks.groupBy("part_id", "chunk_seq").applyInPandas(dec, schema=spark_schema)
+    if ordered:
+        out = out.orderBy("part_id", "chunk_seq")
+    return out.drop("part_id", "chunk_seq")
+
+
+def _arrow_type(name: str) -> pa.DataType:
+    simple = {
+        "string": pa.string(), "large_string": pa.large_string(),
+        "int64": pa.int64(), "int32": pa.int32(), "int16": pa.int16(),
+        "int8": pa.int8(), "uint64": pa.uint64(), "uint32": pa.uint32(),
+        "float": pa.float32(), "double": pa.float64(), "bool": pa.bool_(),
+        "binary": pa.binary(), "large_binary": pa.large_binary(),
+        "date32[day]": pa.date32(),
+    }
+    if name in simple:
+        return simple[name]
+    if name.startswith("timestamp"):
+        # e.g. "timestamp[us]" / "timestamp[us, tz=UTC]"
+        unit = name.split("[")[1].split("]")[0].split(",")[0]
+        tz = "UTC" if "tz=" in name else None
+        return pa.timestamp(unit, tz)
+    if name.startswith("decimal128"):
+        prec, scale = name.split("(")[1].rstrip(")").split(",")
+        return pa.decimal128(int(prec), int(scale))
+    raise TypeError(f"unmapped arrow type name {name}")
+
+
+def _spark_type(t: pa.DataType) -> str:
+    m = {
+        pa.string(): "string", pa.large_string(): "string",
+        pa.int64(): "long", pa.int32(): "int", pa.int16(): "short",
+        pa.float64(): "double", pa.float32(): "float", pa.bool_(): "boolean",
+        pa.large_binary(): "binary", pa.binary(): "binary",
+    }
+    if t in m:
+        return m[t]
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    raise TypeError(f"unmapped arrow type {t}")

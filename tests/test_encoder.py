@@ -1,0 +1,75 @@
+"""End-to-end encode→decode round trip on Spark (north_rule invariant:
+per-row sha256(content) equality, compressed size ≤ plain parquet)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_producers_spark.datagen import source_code_df
+from parquet_producers_spark.encoder import decode_chunks, encode_partitions
+
+N_FILES = 2000
+
+
+@pytest.fixture(scope="module")
+def source(spark):
+    return source_code_df(spark, N_FILES, seed=42, partitions=4).cache()
+
+
+def test_datagen_deterministic(spark):
+    a = source_code_df(spark, 500, seed=42, partitions=2).orderBy("path").collect()
+    b = source_code_df(spark, 500, seed=42, partitions=7).orderBy("path").collect()
+    assert a == b
+
+
+def test_roundtrip_bit_identical(spark, source):
+    chunks = encode_partitions(
+        source, sort_cols=["repo", "path"], partitions=4, chunk_rows=512
+    ).cache()
+    decoded = decode_chunks(chunks)
+
+    orig = source.orderBy("repo", "path").collect()
+    got = decoded.collect()
+    assert len(got) == len(orig) == N_FILES
+    # decoded rows must match bit-identically, including global sort order
+    for o, g in zip(orig, got):
+        assert (o.repo, o.path, o.commit, o.lang) == (g.repo, g.path, g.commit, g.lang)
+        assert hashlib.sha256(o.content.encode()).hexdigest() == \
+            hashlib.sha256(g.content.encode()).hexdigest()
+    chunks.unpersist()
+
+
+def test_compression_beats_plain_parquet(spark, source, tmp_path):
+    sorted_src = source.repartitionByRange(4, "repo", "path") \
+        .sortWithinPartitions("repo", "path")
+    ref_path = str(tmp_path / "ref_parquet")
+    sorted_src.write.mode("overwrite").parquet(ref_path)
+    ref_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(ref_path) for f in fs if f.endswith(".parquet")
+    )
+
+    chunks = encode_partitions(
+        source, sort_cols=["repo", "path"], partitions=4, cascade=True
+    )
+    enc_bytes = chunks.agg(F.sum("enc_bytes")).collect()[0][0]
+    ratio = enc_bytes / ref_bytes
+    print(f"encoded={enc_bytes} reference_parquet={ref_bytes} ratio={ratio:.3f}")
+    assert ratio <= 1.0, f"compressed size {ratio:.2f}x of reference parquet"
+
+
+def test_codec_choices_are_sane(spark, source):
+    chunks = encode_partitions(
+        source, sort_cols=["repo", "path"], partitions=2
+    ).select("column", "codec").distinct().collect()
+    chosen = {}
+    for r in chunks:
+        chosen.setdefault(r.column, set()).add(r.codec)
+    # sorted repo column must get a run/dict-family codec, content gets fsst
+    assert chosen["repo"] <= {"rle", "dict"}, chosen
+    assert chosen["lang"] <= {"rle", "dict"}, chosen
+    assert "fsst" in chosen["content"], chosen
