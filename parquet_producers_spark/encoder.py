@@ -144,32 +144,39 @@ def decode_chunks(chunks: DataFrame, ordered: bool = True) -> DataFrame:
         pa.field(r["column"], _arrow_type(json.loads(r["params"])["atype"]))
         for r in heads
     ]
+    # a chunk is identified by (any layout partition cols, part_id, chunk_seq)
+    layout_cols = [
+        c for c in chunks.columns
+        if c not in {f.name for f in CHUNK_ARROW_SCHEMA}
+    ]
+    group_cols = layout_cols + ["part_id", "chunk_seq"]
     out_schema = pa.schema(
-        [pa.field("part_id", pa.int32()), pa.field("chunk_seq", pa.int32())] + fields
+        [pa.field("__ord", pa.int64())] + fields
     )
     spark_schema = ", ".join(
-        ["part_id int", "chunk_seq int"]
-        + [f"{f.name} {_spark_type(f.type)}" for f in fields]
+        ["__ord long"] + [f"{f.name} {_spark_type(f.type)}" for f in fields]
     )
     col_names = [f.name for f in fields]
 
-    def dec(pdf):
-        pid = int(pdf["part_id"].iloc[0])
-        seq = int(pdf["chunk_seq"].iloc[0])
+    def dec(key, pdf):
+        # dense per-chunk ordinal: layout cols are small ints (slice ids)
+        ordv = 0
+        for k in key:
+            ordv = ordv * 1_000_000 + int(k)
         arrays = {}
         for _, row in pdf.iterrows():  # ≤ n_cols rows, not data rows
             arrays[row["column"]] = decode_array(
                 bytes(row["data"]), json.loads(row["params"])
             )
         n = len(next(iter(arrays.values())))
-        cols = [pa.array([pid] * n, pa.int32()), pa.array([seq] * n, pa.int32())]
+        cols = [pa.array([ordv] * n, pa.int64())]
         cols += [arrays[c] for c in col_names]
         return pa.table(cols, schema=out_schema).to_pandas()
 
-    out = chunks.groupBy("part_id", "chunk_seq").applyInPandas(dec, schema=spark_schema)
+    out = chunks.groupBy(*group_cols).applyInPandas(dec, schema=spark_schema)
     if ordered:
-        out = out.orderBy("part_id", "chunk_seq")
-    return out.drop("part_id", "chunk_seq")
+        out = out.orderBy("__ord")
+    return out.drop("__ord")
 
 
 def _arrow_type(name: str) -> pa.DataType:
