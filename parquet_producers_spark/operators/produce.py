@@ -1,0 +1,246 @@
+"""Sorted key–value producer stages: grouped flat-map + incremental
+reconcile + CDC — the reference's core semantics, re-expressed as
+DataFrame joins/unions/windows + one ``applyInPandas`` per stage.
+
+Reference behavior being reproduced (see SURVEY.md §2.1 ops 6, 11-20):
+
+* ``Produce`` — a grouped flat-map ``(SK, [SV]) → [(TK, TV)]``
+  (reference: Parquet.Producers/ParquetProduction.cs:10-11). Here:
+  ``updates.groupBy(sk).applyInPandas(produce)``.
+* A stage owns three tables (reference: Producer.cs:58-60):
+  **content** ``(tk…, sk…, value…)``, **mappings** ``(sk…, tk…)``,
+  **updates-out** ``(type, tk…, value…)``.
+* Incremental update semantics (reference:
+  ParquetProduction.cs:279-374 instruction generation, :376-453
+  mapping reconcile, :463-704 content reconcile + CDC emission,
+  PendingDeleteState.cs:6-97 delete suppression), restated set-wise:
+
+  - every updated SK deletes all its previous ``(sk, tk)`` pairs
+    (discovered via the update×mappings join);
+  - new content = prev content minus touched ``(tk, sk)`` pairs,
+    plus produced rows;
+  - CDC out: produced rows → ``Add`` iff the TK had no prior row
+    (first produced row only; the rest ``Update``); retained rows of a
+    touched TK are re-emitted as ``Update`` (consumers always see the
+    full value set of a touched key — reference README.md:211-214);
+    ``Delete(tk)`` iff a deletion touched the TK and no row survives.
+
+This module is NOT a port: the reference's cursor machinery
+(Cursor.cs, SingleUseSequence.cs, MergeSorter.cs) has no counterpart
+here — Spark's shuffle sort and joins replace it wholesale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+UPDATE_TYPE = "type"  # 'Add' | 'Update' | 'Delete'
+
+
+@dataclass
+class Stage:
+    """One producer stage: SK→TK grouped flat-map with incremental state."""
+
+    name: str
+    sk_cols: list[str]
+    tk_cols: list[str]
+    value_cols: list[str]
+    # produce(key: tuple, values: pd.DataFrame) -> pd.DataFrame[tk+value]
+    produce: Callable[[tuple, pd.DataFrame], pd.DataFrame]
+    out_ddl: str  # spark DDL for tk_cols + value_cols, e.g. "word string, id int"
+    preserve_col: Optional[str] = None  # surrogate-id column kept stable per TK
+    sources: list["Stage"] = field(default_factory=list)
+
+    @property
+    def content_cols(self) -> list[str]:
+        return self.tk_cols + self.sk_cols + self.value_cols
+
+
+def _empty(spark: SparkSession, ddl: str) -> DataFrame:
+    return spark.createDataFrame([], schema=ddl)
+
+
+def empty_state(spark: SparkSession, stage: Stage, updates: DataFrame):
+    """(content, mappings) empty frames typed from the updates schema."""
+    sk_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in updates.schema.fields if f.name in stage.sk_cols
+    )
+    tk_value_ddl = stage.out_ddl
+    tk_ddl = ", ".join(
+        p.strip() for p in tk_value_ddl.split(",")
+        if p.strip().split()[0] in stage.tk_cols
+    )
+    content = _empty(spark, f"{tk_ddl}, {sk_ddl}, " + ", ".join(
+        p.strip() for p in tk_value_ddl.split(",")
+        if p.strip().split()[0] in stage.value_cols
+    ) if stage.value_cols else f"{tk_ddl}, {sk_ddl}")
+    mappings = _empty(spark, f"{sk_ddl}, {tk_ddl}")
+    return content, mappings
+
+
+def run_produce(stage: Stage, upserts: DataFrame) -> DataFrame:
+    """Grouped flat-map: one applyInPandas, zero per-row driver work.
+
+    Returns upsert instructions ``(tk…, sk…, value…)``.
+    """
+    sk_cols = stage.sk_cols
+    out_cols = stage.tk_cols + stage.value_cols
+    sk_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in upserts.schema.fields if f.name in sk_cols
+    )
+    schema = f"{stage.out_ddl}, {sk_ddl}"
+
+    produce = stage.produce
+
+    def wrapped(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        out = produce(key, pdf)
+        if out is None or len(out) == 0:
+            return pd.DataFrame(columns=out_cols + sk_cols)
+        out = out[out_cols].copy()
+        for c, v in zip(sk_cols, key):
+            out[c] = v
+        return out
+
+    return (
+        upserts.groupBy(*sk_cols)
+        .applyInPandas(wrapped, schema=schema)
+        .select(*stage.content_cols)
+    )
+
+
+def update_stage(
+    stage: Stage,
+    prev_content: DataFrame,
+    prev_mappings: DataFrame,
+    updates: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One incremental wave. Returns (content, mappings, updates_out).
+
+    ``updates`` rows: (type, sk…, source-value…); per key either one
+    Delete or ≥1 upserts carrying the key's full new value set
+    (reference README.md:139-144).
+    """
+    sk, tk = stage.sk_cols, stage.tk_cols
+    pair_cols = tk + sk
+
+    upd_keys = updates.select(*sk).distinct()
+    upserts = updates.filter(F.col(UPDATE_TYPE) != "Delete")
+
+    # Phase 1 — instructions (reference ParquetProduction.cs:279-374)
+    produced = run_produce(stage, upserts)          # upsert instructions
+    deletions = prev_mappings.join(upd_keys, sk, "inner").select(*sk, *tk)
+
+    # Phase 2 — reconcile (reference :376-453 mappings, :463-704 content)
+    touched_pairs = (
+        deletions.select(*pair_cols)
+        .unionByName(produced.select(*pair_cols))
+        .distinct()
+    )
+    retained = prev_content.join(touched_pairs, pair_cols, "left_anti")
+
+    produced_final = (
+        _apply_preserve(stage, produced, prev_content)
+        if stage.preserve_col else produced
+    )
+    content = retained.unionByName(produced_final.select(*stage.content_cols))
+
+    # one mapping row per produced row — duplicates intentional, matching
+    # the reference (ParquetProductionTests.cs:224-229 asserts (1,1)×3)
+    mappings = (
+        prev_mappings.join(upd_keys, sk, "left_anti")
+        .unionByName(produced.select(*sk, *tk))
+    )
+
+    # CDC derivation (reference :553-697 + PendingDeleteState.cs)
+    tk_existed = prev_content.select(*tk).distinct()
+    touched_tks = touched_pairs.select(*tk).distinct()
+
+    first_w = Window.partitionBy(*tk).orderBy(*sk, *stage.value_cols)
+    prod_events = (
+        produced_final
+        .join(tk_existed.withColumn("__existed", F.lit(1)), tk, "left")
+        .withColumn("__rn", F.row_number().over(first_w))
+        .withColumn(
+            UPDATE_TYPE,
+            F.when(F.col("__existed").isNull() & (F.col("__rn") == 1), "Add")
+            .otherwise("Update"),
+        )
+        .select(UPDATE_TYPE, *tk, *stage.value_cols)
+    )
+    reemit_events = (
+        retained.join(touched_tks, tk, "left_semi")
+        .select(F.lit("Update").alias(UPDATE_TYPE), *tk, *stage.value_cols)
+    )
+    survivor_tks = content.select(*tk).distinct()
+    delete_events = (
+        deletions.select(*tk).distinct()
+        .join(survivor_tks, tk, "left_anti")
+        .select(
+            F.lit("Delete").alias(UPDATE_TYPE), *tk,
+            *[F.lit(None).cast(dict(zip(
+                [f.name for f in content.schema.fields],
+                [f.dataType for f in content.schema.fields]))[c]).alias(c)
+              for c in stage.value_cols],
+        )
+    )
+    updates_out = prod_events.unionByName(reemit_events).unionByName(delete_events)
+    return content, mappings, updates_out
+
+
+def bootstrap_stage(
+    spark: SparkSession, stage: Stage, updates: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """First wave from empty state (reference 'bootstrapping' README.md:45-59)."""
+    content, mappings = empty_state(spark, stage, updates)
+    return update_stage(stage, content, mappings, updates)
+
+
+def _apply_preserve(
+    stage: Stage, produced: DataFrame, prev_content: DataFrame
+) -> DataFrame:
+    """Surrogate-key preservation (reference op 20:
+    ParquetProducerOptions.cs:16-28, README.md:218-232).
+
+    New rows of an existing TK inherit that TK's example id (min-SK row
+    — deterministic, unlike the reference's 'any example').  Brand-new
+    TKs get ``max(prev ids) + dense_rank(tk)`` — deterministic and
+    parallel, replacing the reference tests' mutable ``nextId++``
+    (ParquetProductionTests.cs:573; SURVEY.md §7.3).
+    """
+    tk, col = stage.tk_cols, stage.preserve_col
+    example_w = Window.partitionBy(*tk).orderBy(*stage.sk_cols)
+    examples = (
+        prev_content
+        .withColumn("__rn", F.row_number().over(example_w))
+        .filter(F.col("__rn") == 1)
+        .select(*tk, F.col(col).alias("__example"))
+    )
+    # brand-new TKs: dense_rank over the (small) per-wave novel-key delta.
+    # Single-partition window is fine — the delta is the wave's new TKs,
+    # not the dataset; at extreme scale zipWithIndex-style salting applies.
+    new_tks = (
+        produced.select(*tk).distinct()
+        .join(examples.select(*tk), tk, "left_anti")
+        .withColumn("__new_id", F.dense_rank().over(Window.orderBy(*tk)))
+    )
+    max_prev = prev_content.agg(
+        F.coalesce(F.max(col), F.lit(0)).alias("__max_prev")
+    )
+    return (
+        produced.join(examples, tk, "left")
+        .join(new_tks, tk, "left")
+        .join(F.broadcast(max_prev))
+        .withColumn(
+            col,
+            F.coalesce(F.col("__example"), F.col("__max_prev") + F.col("__new_id")),
+        )
+        .drop("__example", "__new_id", "__max_prev")
+    )

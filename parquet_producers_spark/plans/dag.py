@@ -1,0 +1,156 @@
+"""DAG orchestration with versioned state — the reference's ``Producer``
+(ops 21-22: Parquet.Producers/Producer.cs:68-185).
+
+A :class:`Pipeline` holds a registry of stages wired source→target.
+``update(root_updates, based_on)`` collects the transitive downstream
+closure, topologically orders it sources-before-target (reference
+:121-141), runs each stage as one Spark job chain, and persists version
+N+1 of every stage's (content, mappings, updates) under
+``{root}/{stage}/v={N+1}/`` — the whole-DAG transaction of reference
+README.md:182. Per-stage wall-clock is recorded (reference :154-175).
+
+Content is written range-partitioned and sorted by (tk…, sk…), which is
+what makes the codec layer's run-based encodings effective downstream.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.multisource import feeder_view, read_sources
+from ..operators.produce import Stage, empty_state, update_stage
+from ..storage import atomic_write_json, list_versions, stage_dir
+
+
+@dataclass
+class _Node:
+    stage: Stage
+    source_names: list[str] = field(default_factory=list)
+
+
+class Pipeline:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.nodes: dict[str, _Node] = {}
+
+    def add(self, stage: Stage, sources: list[str] | None = None) -> "Pipeline":
+        self.nodes[stage.name] = _Node(stage, sources or [])
+        return self
+
+    # -- state I/O --------------------------------------------------------
+
+    def _table(self, name: str, version: int, table: str) -> DataFrame:
+        return self.spark.read.parquet(stage_dir(self.root, name, version, table))
+
+    def content(self, name: str, version: int | None = None) -> DataFrame:
+        version = version if version is not None else self.version(name)
+        return self._table(name, version, "content")
+
+    def updates_out(self, name: str, version: int) -> DataFrame:
+        return self._table(name, version, "updates")
+
+    def version(self, name: str) -> int:
+        vs = list_versions(self.root, name)
+        return vs[-1] if vs else 0
+
+    def _write(self, name: str, version: int, table: str, df: DataFrame,
+               sort_cols: list[str] | None = None) -> None:
+        if sort_cols:
+            n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            df = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(*sort_cols)
+        df.write.mode("overwrite").parquet(stage_dir(self.root, name, version, table))
+
+    # -- the DAG update transaction ---------------------------------------
+
+    def _downstream_closure(self, roots: list[str]) -> list[str]:
+        """Topological order, sources before targets (reference :121-141)."""
+        hit = set(roots)
+        changed = True
+        while changed:
+            changed = False
+            for name, node in self.nodes.items():
+                if name not in hit and any(s in hit for s in node.source_names):
+                    hit.add(name)
+                    changed = True
+        order: list[str] = []
+        remaining = set(hit)
+        while remaining:
+            for name in sorted(remaining):
+                deps = [s for s in self.nodes[name].source_names if s in remaining]
+                if not deps:
+                    order.append(name)
+                    remaining.remove(name)
+                    break
+            else:
+                raise ValueError("cycle in stage DAG")
+        return order
+
+    def update(
+        self,
+        root_updates: dict[str, DataFrame],
+        based_on: int | None = None,
+    ) -> int:
+        """Run one DAG-wide update transaction; returns the new version."""
+        roots = list(root_updates)
+        based_on = based_on if based_on is not None else max(
+            (self.version(r) for r in roots), default=0
+        )
+        new_version = based_on + 1
+        order = self._downstream_closure(roots)
+        timings: dict[str, float] = {}
+        for name in order:
+            t0 = time.monotonic()
+            node = self.nodes[name]
+            stage = node.stage
+            if name in root_updates:
+                updates_in = root_updates[name]
+            else:
+                feeders = []
+                for s in self.nodes[name].source_names:
+                    src = self.nodes[s].stage
+                    if s in order:  # updated in this transaction
+                        upd = self.updates_out(s, new_version)
+                        cnt = self.content(s, new_version)
+                    else:
+                        # feeder untouched this wave: empty update stream,
+                        # current content (reference: a stage outside the
+                        # closure contributes no updates, Producer.cs:121-128)
+                        cnt = self.content(s, self.version(s))
+                        upd = self.updates_out(s, self.version(s)).limit(0)
+                    feeders.append(feeder_view(
+                        cnt, upd, src.tk_cols, src.value_cols,
+                    ))
+                updates_in = read_sources(feeders, stage.sk_cols)
+
+            if based_on == 0 or not os.path.isdir(
+                stage_dir(self.root, name, based_on, "content")
+            ):
+                prev_content, prev_mappings = empty_state(
+                    self.spark, stage, updates_in
+                )
+            else:
+                prev_content = self._table(name, based_on, "content")
+                prev_mappings = self._table(name, based_on, "mappings")
+
+            content, mappings, updates_out = update_stage(
+                stage, prev_content, prev_mappings, updates_in
+            )
+            self._write(name, new_version, "content", content,
+                        sort_cols=stage.tk_cols + stage.sk_cols)
+            self._write(name, new_version, "mappings", mappings,
+                        sort_cols=stage.sk_cols + stage.tk_cols)
+            self._write(name, new_version, "updates", updates_out,
+                        sort_cols=stage.tk_cols)
+            timings[name] = round(time.monotonic() - t0, 3)
+
+        atomic_write_json(
+            os.path.join(self.root, f"_txn/v={new_version}.json"),
+            {"version": new_version, "based_on": based_on,
+             "stages": order, "timings_s": timings},
+        )
+        return new_version

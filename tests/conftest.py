@@ -3,7 +3,13 @@ import sys
 
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_TESTS = os.path.dirname(os.path.abspath(__file__))
+_ROOT = os.path.dirname(_TESTS)
+sys.path.insert(0, _ROOT)
+# spark python workers must be able to import repo + test modules
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    [_ROOT, _TESTS, os.environ.get("PYTHONPATH", "")]
+).rstrip(os.pathsep)
 
 from parquet_producers_spark.session import get_spark  # noqa: E402
 

@@ -1,0 +1,172 @@
+"""WordCounting — the reference's flagship 4-stage DAG scenario
+(ParquetProductionTests.cs:292-543): two feeders (phrases, books) →
+idsByWord (multi-feeder merge + word-split flat-map) → wordCounts
+(count aggregation, descending order), then an incremental delete of
+one phrase propagated through the whole DAG."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from parquet_producers_spark.operators.multisource import feeder_view, read_sources
+from parquet_producers_spark.operators.produce import Stage
+from parquet_producers_spark.plans.dag import Pipeline
+
+
+def _identity(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame({"id": [int(key[0])] * len(pdf), "text": pdf["text"]})
+
+
+def _split_words(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    words = []
+    for t in pdf["text"]:
+        words.extend(t.split(" "))
+    return pd.DataFrame({"word": words, "val_id": [int(key[0])] * len(words)})
+
+
+def _count_words(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame({"cnt": [len(pdf)], "w": [key[0]]})
+
+
+@pytest.fixture
+def pipeline(spark, tmp_path):
+    p = Pipeline(spark, str(tmp_path))
+    p.add(Stage("phrases", ["src_id"], ["id"], ["text"], _identity,
+                "id int, text string"))
+    p.add(Stage("books", ["src_id"], ["id"], ["text"], _identity,
+                "id int, text string"))
+    p.add(Stage("ids_by_word", ["id"], ["word"], ["val_id"], _split_words,
+                "word string, val_id int"), sources=["phrases", "books"])
+    p.add(Stage("word_counts", ["word"], ["cnt"], ["w"], _count_words,
+                "cnt int, w string"), sources=["ids_by_word"])
+    return p
+
+
+def _rows(df, order):
+    return [tuple(r) for r in df.orderBy(*order).collect()]
+
+
+def test_word_counting_dag(spark, pipeline):
+    p = pipeline
+    v1 = p.update({
+        "phrases": spark.createDataFrame(
+            [("Add", 1, "the quick brown fox"),
+             ("Add", 2, "jumps over the lazy dog"),
+             ("Add", 3, "sometimes a dog is brown"),
+             ("Add", 4, "brown is my favourite colour")],
+            "type string, src_id int, text string"),
+        "books": spark.createDataFrame(
+            [("Add", 1, "the brain police"),
+             ("Add", 2, "sometimes the fox is lazy"),
+             ("Add", 3, "the mystery at dog hall")],
+            "type string, src_id int, text string"),
+    })
+    assert v1 == 1
+
+    # reference :368-401 — idsByWord contents sorted (word, id)
+    assert _rows(p.content("ids_by_word", 1).select("word", "id", "val_id"),
+                 ["word", "id"]) == [
+        ("a", 3, 3), ("at", 3, 3), ("brain", 1, 1),
+        ("brown", 1, 1), ("brown", 3, 3), ("brown", 4, 4),
+        ("colour", 4, 4), ("dog", 2, 2), ("dog", 3, 3), ("dog", 3, 3),
+        ("favourite", 4, 4), ("fox", 1, 1), ("fox", 2, 2),
+        ("hall", 3, 3), ("is", 2, 2), ("is", 3, 3), ("is", 4, 4),
+        ("jumps", 2, 2), ("lazy", 2, 2), ("lazy", 2, 2),
+        ("my", 4, 4), ("mystery", 3, 3), ("over", 2, 2),
+        ("police", 1, 1), ("quick", 1, 1),
+        ("sometimes", 2, 2), ("sometimes", 3, 3),
+        ("the", 1, 1), ("the", 1, 1), ("the", 2, 2), ("the", 2, 2),
+        ("the", 3, 3),
+    ]
+
+    # reference :404-430 — word counts, descending by count
+    from pyspark.sql import functions as F
+    wc = _rows(
+        p.content("word_counts", 1).select("cnt", "w")
+        .orderBy(F.desc("cnt"), "w"), [F.desc("cnt"), "w"])
+    assert wc == [
+        (5, "the"), (3, "brown"), (3, "dog"), (3, "is"),
+        (2, "fox"), (2, "lazy"), (2, "sometimes"),
+        (1, "a"), (1, "at"), (1, "brain"), (1, "colour"),
+        (1, "favourite"), (1, "hall"), (1, "jumps"), (1, "my"),
+        (1, "mystery"), (1, "over"), (1, "police"), (1, "quick"),
+    ]
+
+    # ---- wave 2: delete phrase 2 ("jumps over the lazy dog") ----
+    v2 = p.update({
+        "phrases": spark.createDataFrame(
+            [("Delete", 2, None)], "type string, src_id int, text string"),
+    })
+    assert v2 == 2
+
+    # phrases updates-out: exactly one Delete (reference :445-446)
+    assert _rows(p.updates_out("phrases", 2), ["id"]) == [("Delete", 2, None)]
+
+    # reference :452-478 — idsByWord contents after the delete
+    assert _rows(p.content("ids_by_word", 2).select("word", "id", "val_id"),
+                 ["word", "id"]) == [
+        ("a", 3, 3), ("at", 3, 3), ("brain", 1, 1),
+        ("brown", 1, 1), ("brown", 3, 3), ("brown", 4, 4),
+        ("colour", 4, 4), ("dog", 3, 3), ("dog", 3, 3),
+        ("favourite", 4, 4), ("fox", 1, 1), ("fox", 2, 2),
+        ("hall", 3, 3), ("is", 2, 2), ("is", 3, 3), ("is", 4, 4),
+        ("lazy", 2, 2), ("my", 4, 4), ("mystery", 3, 3),
+        ("police", 1, 1), ("quick", 1, 1),
+        ("sometimes", 2, 2), ("sometimes", 3, 3),
+        ("the", 1, 1), ("the", 1, 1), ("the", 2, 2), ("the", 3, 3),
+    ]
+
+    # reference :482-498 — idsByWord update stream (deletes + re-upserts)
+    upd = sorted(
+        tuple(r) for r in p.updates_out("ids_by_word", 2).collect()
+    )
+    assert upd == sorted([
+        ("Update", "dog", 3), ("Update", "dog", 3),
+        ("Update", "fox", 1), ("Update", "fox", 2),
+        ("Update", "is", 2), ("Update", "is", 3), ("Update", "is", 4),
+        ("Delete", "jumps", None),
+        ("Update", "lazy", 2),
+        ("Delete", "over", None),
+        ("Update", "sometimes", 2), ("Update", "sometimes", 3),
+        ("Update", "the", 1), ("Update", "the", 1),
+        ("Update", "the", 2), ("Update", "the", 3),
+    ])
+
+    # reference :522-542 — final recount
+    wc2 = _rows(
+        p.content("word_counts", 2).select("cnt", "w")
+        .orderBy(F.desc("cnt"), "w"), [F.desc("cnt"), "w"])
+    assert wc2 == [
+        (4, "the"), (3, "brown"), (3, "is"),
+        (2, "dog"), (2, "fox"), (2, "sometimes"),
+        (1, "a"), (1, "at"), (1, "brain"), (1, "colour"),
+        (1, "favourite"), (1, "hall"), (1, "lazy"), (1, "my"),
+        (1, "mystery"), (1, "police"), (1, "quick"),
+    ]
+
+
+def test_read_sources_augmentation(spark):
+    """Reference :500-502 AssertSources: a feeder with no updates
+    re-emits its content for affected keys, disguised as Update."""
+    upd_a = spark.createDataFrame(
+        [("Delete", 2, None)], "type string, id int, text string")
+    content_a = spark.createDataFrame(
+        [(1, "the quick brown fox")], "id int, text string")
+    upd_b = spark.createDataFrame([], "type string, id int, text string")
+    content_b = spark.createDataFrame(
+        [(1, "the brain police"), (2, "sometimes the fox is lazy")],
+        "id int, text string")
+    merged = read_sources([(upd_a, content_a), (upd_b, content_b)], ["id"])
+    assert sorted(tuple(r) for r in merged.collect()) == [
+        ("Update", 2, "sometimes the fox is lazy"),
+    ]
+
+
+def test_feeder_view_renames(spark):
+    content = spark.createDataFrame([(1, 2, "x")], "tk int, sk int, v string")
+    updates = spark.createDataFrame(
+        [("Add", 1, "x")], "type string, tk int, v string")
+    u, c = feeder_view(content, updates, ["tk"], ["v"], ["key"], ["val"])
+    assert u.columns == ["type", "key", "val"]
+    assert c.columns == ["key", "val"]
