@@ -1,38 +1,599 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the producer engine's grouped flat-map
+word count over the sf0.001 documents table.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+family (SURVEY.md §2 + the training-data ops mandate), each with an
+ANSI-SQL DuckDB oracle unless marked rows-only. Every computed column
+is aliased identically on both sides; doubles are rounded on both
+sides before comparison.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Producer-engine word count over sf0.001 documents (reference
+    WordCounting scenario shape on driver data)."""
+    return _producer_wordcount(spark, SF_DEFAULT)
+
+
+def _producer_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from parquet_producers_spark.operators.produce import Stage, bootstrap_stage
+
+    def split_words(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        words = []
+        for t in pdf["text"]:
+            words.extend(t.split(" "))
+        return pd.DataFrame({"word": words, "pos": range(len(words))})
+
+    stage = Stage(
+        name="ids_by_word", sk_cols=["doc_id"], tk_cols=["word"],
+        value_cols=["pos"], produce=split_words,
+        out_ddl="word string, pos int",
+    )
+    docs = _t(spark, sf_dir, "documents")
+    updates = docs.select(
+        F.lit("Add").alias("type"), F.col("doc_id"), F.col("text")
+    )
+    content, _mappings, _updates_out = bootstrap_stage(spark, stage, updates)
+    return (
+        content.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+    )
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                    ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_top_customers(spark, sf):
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(10)
+    )
+
+
+def q_region_customer_count(spark, sf):
+    r, n, c = _t(spark, sf, "region"), _t(spark, sf, "nation"), _t(spark, sf, "customer")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def q_order_rank_window(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey",
+                F.round("o_totalprice", 2).alias("totalprice"), "rnk")
+    )
+
+
+def q_part_brand_stats(spark, sf):
+    p = _t(spark, sf, "part")
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            F.countDistinct("p_type").alias("n_types"),
+            F.round(F.avg("p_size"), 4).alias("avg_size"),
+            F.round(F.max("p_retailprice"), 2).alias("max_price"),
+        )
+    )
+
+
+def q_rollup_sales(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+def q_customers_without_orders(spark, sf):
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name")
+
+
+def q_repeat_buyers_intersect(spark, sf):
+    o = _t(spark, sf, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersect(b)
+
+
+def q_user_running_value(spark, sf):
+    e = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return e.select(
+        "event_id", "user_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+def q_event_type_stats(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.avg("value"), 4).alias("avg_value"),
+             F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def q_producer_wordcount(spark, sf):
+    return _producer_wordcount(spark, sf)
+
+
+def q_codec_roundtrip_sha(spark, sf):
+    """North-rule invariant as a query: encode→decode the documents
+    table with the codec engine, return per-row sha256."""
+    from parquet_producers_spark.encoder import decode_chunks, encode_partitions
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    chunks = encode_partitions(docs, sort_cols=["doc_id"], partitions=4)
+    decoded = decode_chunks(chunks, ordered=False)
+    return decoded.select("doc_id", F.sha2(F.col("text"), 256).alias("text_sha"))
+
+
+def q_codec_stats(spark, sf):
+    """Rows-only: per-codec encoded size of the documents table."""
+    from parquet_producers_spark.encoder import encode_partitions
+
+    docs = _t(spark, sf, "documents")
+    chunks = encode_partitions(docs, sort_cols=["doc_id"], partitions=4)
+    return (
+        chunks.groupBy("column", "codec")
+        .agg(F.count("*").alias("chunks"),
+             F.sum("raw_bytes").alias("raw_bytes"),
+             F.sum("enc_bytes").alias("enc_bytes"))
+    )
+
+
+def q_dedup_exact(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.agg(
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        F.count("*").alias("n_total"),
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    from parquet_producers_spark.functions.dedup import jaccard_pairs
+
+    d = _t(spark, sf, "documents")
+    return jaccard_pairs(d, "text", k=3, threshold=0.2)
+
+
+def q_dedup_minhash(spark, sf):
+    from parquet_producers_spark.functions.dedup import minhash_signatures
+
+    d = _t(spark, sf, "documents")
+    return minhash_signatures(d.filter(F.col("doc_id") < 200), "text", k=3, h=4)
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    from parquet_producers_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    d = _t(spark, sf, "documents")
+    sig = minhash_signatures(d, "text", k=3, h=8)
+    return lsh_candidate_pairs(sig, h=8, bands=4)
+
+
+def q_dedup_simhash(spark, sf):
+    from parquet_producers_spark.functions.dedup import simhash
+
+    d = _t(spark, sf, "documents")
+    return simhash(d.filter(F.col("doc_id") < 300), "text", bits=16)
+
+
+def q_text_quality(spark, sf):
+    from parquet_producers_spark.functions.text import (
+        fingerprint,
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        quality_score(F.col("text"), F.col("n_chars")).alias("quality"),
+        lang_id(F.col("text")).alias("guessed_lang"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+def q_embedding_knn(spark, sf):
+    from parquet_producers_spark.functions.similarity import cosine_topk
+
+    e = _t(spark, sf, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10)
+    return cosine_topk(e, probes, k=5)
+
+
+def q_embedding_ann_lsh(spark, sf):
+    """Rows-only: LSH-bucketed approximate neighbors (scale path)."""
+    from parquet_producers_spark.functions.similarity import lsh_ann_topk
+
+    e = _t(spark, sf, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10)
+    return lsh_ann_topk(e, probes, k=5, bits=4)
+
+
+def q_multimodal_features(spark, sf):
+    from parquet_producers_spark.functions.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+
+    d = _t(spark, sf, "documents")
+    return extract_features(synthesize_media(d))
+
+
+def q_producer_incremental_cdc(spark, sf):
+    """Rows-only: incremental update wave over the producer engine —
+    bootstraps on even doc_ids, applies a wave updating a handful of
+    keys and deleting others, returns the CDC stream."""
+    import pandas as pd
+
+    from parquet_producers_spark.operators.produce import (
+        Stage,
+        bootstrap_stage,
+        update_stage,
+    )
+
+    def split_words(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        words = []
+        for t in pdf["text"]:
+            words.extend(t.split(" "))
+        return pd.DataFrame({"word": words, "pos": range(len(words))})
+
+    stage = Stage(
+        name="cdc_words", sk_cols=["doc_id"], tk_cols=["word"],
+        value_cols=["pos"], produce=split_words,
+        out_ddl="word string, pos int",
+    )
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    boot = docs.select(F.lit("Add").alias("type"), "doc_id", "text")
+    content, mappings, _ = bootstrap_stage(spark, stage, boot)
+    wave = (
+        docs.filter(F.col("doc_id") < 6)
+        .select(
+            F.when(F.col("doc_id") < 3, "Delete").otherwise("Update").alias("type"),
+            "doc_id",
+            F.when(F.col("doc_id") < 3, F.lit(None))
+            .otherwise(F.concat(F.col("text"), F.lit(" extraword"))).alias("text"),
+        )
+    )
+    _c, _m, updates_out = update_stage(stage, content, mappings, wave)
+    return (
+        updates_out.groupBy("type")
+        .agg(F.count("*").alias("n_events"),
+             F.countDistinct("word").alias("n_words"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "region_customer_count": q_region_customer_count,
+        "order_rank_window": q_order_rank_window,
+        "part_brand_stats": q_part_brand_stats,
+        "rollup_sales": q_rollup_sales,
+        "customers_without_orders": q_customers_without_orders,
+        "repeat_buyers_intersect": q_repeat_buyers_intersect,
+        "user_running_value": q_user_running_value,
+        "event_type_stats": q_event_type_stats,
+        "producer_wordcount": q_producer_wordcount,
+        "codec_roundtrip_sha": q_codec_roundtrip_sha,
+        "codec_stats": q_codec_stats,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "text_quality": q_text_quality,
+        "embedding_knn": q_embedding_knn,
+        "embedding_ann_lsh": q_embedding_ann_lsh,
+        "multimodal_features": q_multimodal_features,
+        "producer_incremental_cdc": q_producer_incremental_cdc,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracles
+# --------------------------------------------------------------------------
+
+
+def _hash_sql(expr: str, seed: int) -> str:
+    return f"CAST(('0x' || substr(md5({expr} || '#{seed}'), 1, 15)) AS BIGINT)"
+
+
+_SHINGLES_SQL = """
+shingles AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id,
+           array_to_string(toks[i:i+2], ' ') AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         LATERAL (SELECT unnest(range(1, GREATEST(len(toks) - 2, 1) + 1)) AS i)
+  ) GROUP BY doc_id, shingle
+)
+"""
+
+
+def _minhash_sql(h: int, doc_filter: str = "TRUE") -> str:
+    mins = ", ".join(
+        f"MIN({_hash_sql('shingle', seed)}) AS mh_{seed}" for seed in range(h)
+    )
+    return f"""
+WITH {_SHINGLES_SQL},
+sigs AS (
+  SELECT doc_id, {mins}
+  FROM shingles WHERE {doc_filter}
+  GROUP BY doc_id
+)
+"""
+
+
+def _simhash_sql(bits: int) -> str:
+    th = _hash_sql("tok", 99)
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (({th}) >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+    FROM documents WHERE doc_id < 300
+  ) WHERE length(tok) > 0 GROUP BY doc_id, tok
+),
+bit_sums AS (SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id)
+SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM bit_sums
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from parquet_producers_spark.functions.text import (
+        lang_id_sql,
+        quality_score_sql,
+    )
+
+    sql: dict[str, str] = {}
+
+    sql["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    sql["top_customers"] = """
+SELECT c_custkey, c_name, ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey LIMIT 10
+"""
+
+    sql["region_customer_count"] = """
+SELECT r_name, COUNT(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+    sql["order_rank_window"] = """
+SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS totalprice, rnk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+    sql["part_brand_stats"] = """
+SELECT p_brand, COUNT(DISTINCT p_type) AS n_types,
+       ROUND(AVG(p_size), 4) AS avg_size,
+       ROUND(MAX(p_retailprice), 2) AS max_price
+FROM part GROUP BY p_brand
+"""
+
+    sql["rollup_sales"] = """
+SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+    sql["customers_without_orders"] = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+    sql["repeat_buyers_intersect"] = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+    sql["user_running_value"] = """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 4) AS running_value
+FROM events
+"""
+
+    sql["event_type_stats"] = """
+SELECT event_type, COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+    sql["producer_wordcount"] = """
+SELECT word, COUNT(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY word
+"""
+
+    sql["codec_roundtrip_sha"] = """
+SELECT doc_id, sha256(text) AS text_sha FROM documents
+"""
+
+    sql["dedup_exact"] = """
+SELECT COUNT(DISTINCT md5(text)) AS n_unique, COUNT(*) AS n_total
+FROM documents
+"""
+
+    sql["dedup_ngram_jaccard"] = f"""
+WITH {_SHINGLES_SQL},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter / (sa.sz + sb.sz - inter) >= 0.2
+"""
+
+    sql["dedup_minhash"] = (
+        _minhash_sql(4, "doc_id < 200")
+        + "SELECT doc_id, mh_0, mh_1, mh_2, mh_3 FROM sigs"
+    )
+
+    band_keys = []
+    for band in range(4):
+        cols = " || '_' || ".join(
+            f"CAST(mh_{band * 2 + r} AS VARCHAR)" for r in range(2)
+        )
+        band_keys.append(
+            f"SELECT doc_id, {band} AS band, md5('{band}' || '_' || {cols})"
+            f" AS bucket FROM sigs"
+        )
+    buckets = " UNION ALL ".join(band_keys)
+    sql["dedup_minhash_lsh"] = (
+        _minhash_sql(8)
+        + f""", buckets AS ({buckets})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+    )
+
+    sql["dedup_simhash"] = _simhash_sql(16)
+
+    sql["text_quality"] = f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       {quality_score_sql('text', 'n_chars')} AS quality,
+       {lang_id_sql('text')} AS guessed_lang,
+       substr(md5(text), 1, 16) AS fp
+FROM documents
+"""
+
+    sql["embedding_knn"] = """
+WITH scored AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS nbr_id,
+         ROUND(
+           (SELECT SUM(CAST(pa AS DOUBLE) * CAST(ca AS DOUBLE))
+            FROM (SELECT unnest(p.embedding) AS pa, unnest(c.embedding) AS ca))
+           / (SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                    FROM (SELECT unnest(p.embedding) AS x)))
+              * SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                      FROM (SELECT unnest(c.embedding) AS x)))), 4) AS cosine
+  FROM embeddings p JOIN embeddings c ON p.vec_id != c.vec_id
+  WHERE p.vec_id < 10
+)
+SELECT probe_id, nbr_id, cosine, rank FROM (
+  SELECT probe_id, nbr_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY probe_id
+                            ORDER BY cosine DESC, nbr_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+    sql["multimodal_features"] = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END
+         AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1))
+            ELSE -1 END AS first_byte,
+       CASE WHEN doc_id % 2 = 0 THEN octet_length(encode(text)) % 64
+            ELSE octet_length(encode(text)) % 128 END AS feature_dim,
+       sha256(text) AS checksum
+FROM documents
+"""
+
+    # codec_stats / embedding_ann_lsh / producer_incremental_cdc are
+    # engine-specific (rows-only checks)
+    return sql

@@ -1,0 +1,102 @@
+"""Text-analysis operators for training-data pipelines (task mandate):
+language-ID heuristic, quality scoring, token counting, fingerprinting.
+
+All pure ``pyspark.sql.functions`` expressions — JVM-side, codegen'd,
+zero Python in the hot path — and all deliberately expressible in ANSI
+SQL so the DuckDB oracle can verify them value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets for the n-gram/stopword
+# language heuristic (the driver's synthetic docs are english-ish; the
+# heuristic stays deterministic and portable to SQL)
+STOP_EN = ["the", "is", "a", "and", "of"]
+
+
+def portable_hash64(col: Column, seed: int) -> Column:
+    """Deterministic 60-bit hash identical in Spark and DuckDB:
+    bigint of the first 15 hex chars of md5(s || '#' || seed)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(col, F.lit(f"#{seed}"))), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def portable_hash64_sql(expr: str, seed: int) -> str:
+    return f"CAST(('0x' || substr(md5({expr} || '#{seed}'), 1, 15)) AS BIGINT)"
+
+
+def token_count(text: Column) -> Column:
+    return F.size(F.split(text, " "))
+
+
+def quality_score(text: Column, n_chars: Column) -> Column:
+    """Heuristic quality in [0,1]: length, stopword ratio, alpha ratio."""
+    toks = token_count(text).cast("double")
+    stop_hits = sum(
+        (F.size(F.split(F.concat(F.lit(" "), text, F.lit(" ")),
+                        f" {w} ")) - F.lit(1)).cast("double")
+        for w in STOP_EN
+    )
+    alpha_ratio = (
+        F.length(F.regexp_replace(text, "[^a-zA-Z]", "")).cast("double")
+        / F.greatest(F.length(text).cast("double"), F.lit(1.0))
+    )
+    length_term = F.least(n_chars.cast("double") / F.lit(500.0), F.lit(1.0))
+    stop_term = F.least(stop_hits / F.greatest(toks, F.lit(1.0)) * 4, F.lit(1.0))
+    return F.round(0.4 * length_term + 0.3 * stop_term + 0.3 * alpha_ratio, 4)
+
+
+def quality_score_sql(text: str, n_chars: str) -> str:
+    toks = f"GREATEST(CAST(len(string_split({text}, ' ')) AS DOUBLE), 1.0)"
+    stop_hits = " + ".join(
+        f"CAST(len(string_split(' ' || {text} || ' ', ' {w} ')) - 1 AS DOUBLE)"
+        for w in STOP_EN
+    )
+    alpha = (
+        f"CAST(length(regexp_replace({text}, '[^a-zA-Z]', '', 'g')) AS DOUBLE)"
+        f" / GREATEST(CAST(length({text}) AS DOUBLE), 1.0)"
+    )
+    return (
+        f"ROUND(0.4 * LEAST(CAST({n_chars} AS DOUBLE) / 500.0, 1.0)"
+        f" + 0.3 * LEAST(({stop_hits}) / {toks} * 4, 1.0)"
+        f" + 0.3 * ({alpha}), 4)"
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-marker language guess: 'en' if common English stopwords
+    dominate, else 'other'. (Synthetic corpus ⇒ binary heuristic; the
+    structure — per-language marker scoring — is the real-world shape.)"""
+    hits = sum(
+        F.when(F.concat(F.lit(" "), text, F.lit(" "))
+               .contains(f" {w} "), 1).otherwise(0)
+        for w in STOP_EN
+    )
+    return F.when(hits >= 2, F.lit("en")).otherwise(F.lit("other"))
+
+
+def lang_id_sql(text: str) -> str:
+    hits = " + ".join(
+        f"CASE WHEN (' ' || {text} || ' ') LIKE '% {w} %' THEN 1 ELSE 0 END"
+        for w in STOP_EN
+    )
+    return f"CASE WHEN ({hits}) >= 2 THEN 'en' ELSE 'other' END"
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: 64-bit prefix of md5 (stands in for a
+    rolling hash; portable to the oracle)."""
+    return F.substring(F.md5(text), 1, 16)
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return df.withColumns({
+        "n_tokens": token_count(t),
+        "fingerprint": fingerprint(t),
+        "guessed_lang": lang_id(t),
+    })
