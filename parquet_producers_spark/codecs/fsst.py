@@ -1,22 +1,28 @@
 """FSST-family string compression, fully vectorized over Arrow buffers.
 
 FSST (cf. PAPERS.md — "FSST: Fast Random Access String Compression",
-VLDB 2020) replaces frequent substrings of up to 8 bytes with 1-byte-ish
+VLDB 2020) replaces frequent substrings of up to 8 bytes with short
 codes from a per-chunk symbol table. This implementation keeps the FSST
-contract — per-chunk symbol table, symbols ≤ 8 bytes, random-access
-decode, bit-identical round trip — but builds the table by iterative
-**pairing rounds** (a Re-Pair-style construction) so that both encode
-and decode are pure numpy array passes with no per-byte Python:
+contract — per-chunk symbol table, symbols ≤ 8 bytes, bit-identical
+round trip — built by iterative **pairing rounds** (a Re-Pair-style
+construction): round r pairs the most frequent adjacent code pairs into
+new codes, so 3 rounds compose symbols up to 2³ = 8 bytes.
 
-* round r pairs the most frequent adjacent code pairs into new codes;
-  3 rounds compose symbols of up to 2³ = 8 bytes (the FSST cap);
-* pair matching is one vectorized key-build + one argsort per round;
-  overlap resolution (only possible for ``l == r``) keeps alternating
-  positions within each run;
-* the final code stream is bit-packed at the minimal width, string
-  boundaries are kept as a separately-packed code-count column.
+Execution model (the part that matters at 32 concurrent workers):
 
-The reference gets its string compression implicitly from Parquet.Net
+* pair frequencies come from a bounded sample;
+* substitution runs **cache-blocked**: the code stream is split at
+  string boundaries into ~128 Ki-code blocks, and every per-round
+  temporary lives in a per-process scratch arena reused across blocks
+  and chunks (``out=`` ufuncs, no fresh allocations). DRAM traffic per
+  round drops from ~20 full-stream temporaries to read+write of the
+  stream itself — the difference between a memory-bandwidth-bound and
+  a compute-bound kernel when 32 executor cores run this at once;
+* overlaps (only adjacent matches can overlap) are resolved by keeping
+  alternating positions within each run of consecutive candidates —
+  deterministic, O(n), no per-symbol loop.
+
+The reference gets string compression implicitly from Parquet.Net
 (reference: README.md:104); this codec is the explicit engine-side
 replacement mandated by BASELINE.json's north_rule.
 """
@@ -33,9 +39,10 @@ BOUND = np.uint16(0xFFFF)  # string-boundary sentinel (never pairs)
 DEAD = np.uint16(0xFFFE)   # tombstone for consumed pair tails
 
 MAX_SYMBOL_LEN = 8
-ROUND_CAPS = (96, 48, 40)      # new symbols per pairing round (sum < 0xFE00-256)
+ROUND_CAPS = (96, 48, 40)      # new symbols per pairing round
 MIN_PAIR_COUNT = 8             # a pair must appear this often to earn a code
-COUNT_SAMPLE = 4_000_000       # pair-frequency stats from ≤ this many codes
+COUNT_SAMPLE = 2_000_000       # pair-frequency stats from ≤ this many codes
+BLOCK_CODES = 1 << 17          # ~128Ki codes per substitution block
 
 
 def _string_bytes(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, str]:
@@ -55,34 +62,75 @@ def _string_bytes(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, str]:
     return offsets - offsets[0], data, otype
 
 
-def _build_stream(offsets: np.ndarray, data: np.ndarray) -> np.ndarray:
-    """Interleave a BOUND sentinel after every string's bytes."""
+def _build_blocks(offsets: np.ndarray, data: np.ndarray) -> list[np.ndarray]:
+    """Code stream (bytes + BOUND sentinel after each string), split at
+    string boundaries into ~BLOCK_CODES blocks so pairs never span
+    blocks and per-block temporaries stay cache-resident."""
     n_str = len(offsets) - 1
-    out = np.empty(len(data) + n_str, dtype=np.uint16)
+    total = len(data) + n_str
+    out = np.empty(total, dtype=np.uint16)
     sentinel_at = offsets[1:] + np.arange(n_str)
     out[sentinel_at] = BOUND
-    mask = np.ones(len(out), dtype=bool)
+    mask = np.ones(total, dtype=bool)
     mask[sentinel_at] = False
     out[mask] = data
-    return out
+    if total <= BLOCK_CODES:
+        return [out]
+    targets = np.arange(BLOCK_CODES, total, BLOCK_CODES)
+    idx = np.minimum(np.searchsorted(sentinel_at, targets), n_str - 1)
+    cuts = np.unique(sentinel_at[idx] + 1)
+    cuts = cuts[cuts < total]
+    return np.split(out, cuts)
 
 
-def _pairing_round(
-    codes: np.ndarray, next_code: int, sym_len: np.ndarray, cap: int
-) -> tuple[np.ndarray, list[tuple[int, int]]]:
-    """One vectorized pairing round. Returns compacted codes + new pairs.
+class _Scratch:
+    """Per-process reusable buffers (module-global: Spark python workers
+    are reused across tasks, so the arena persists across chunks)."""
 
-    Matching policy: a position is a candidate iff its adjacent pair is
-    one of the ``cap`` most frequent pairs this round; overlaps (only
-    adjacent candidates can overlap) are resolved by keeping alternating
-    positions within each maximal run of consecutive candidates —
-    deterministic, maximal, and O(n) with no per-symbol loop.
-    """
-    if len(codes) < 2 or cap <= 0:
-        return codes, []
-    uniq, counts = _pair_counts(codes)
+    def __init__(self, m: int):
+        self.u8a = np.empty(m, np.uint8)
+        self.u8b = np.empty(m, np.uint8)
+        self.i16a = np.empty(m, np.int16)
+        self.i32a = np.empty(m, np.int32)
+        self.i32b = np.empty(m, np.int32)
+        self.i32c = np.empty(m, np.int32)
+        self.b1 = np.empty(m, bool)
+        self.b2 = np.empty(m, bool)
+        self.b3 = np.empty(m, bool)
+
+
+_SCRATCH: _Scratch | None = None
+
+
+def _scratch(m: int) -> _Scratch:
+    global _SCRATCH
+    if _SCRATCH is None or len(_SCRATCH.i32a) < m:
+        _SCRATCH = _Scratch(max(m, BLOCK_CODES + 1))
+    return _SCRATCH
+
+
+def _sample_pair_counts(blocks: list[np.ndarray]):
+    """Adjacent-pair frequencies from ≤ COUNT_SAMPLE codes, spread over
+    evenly-spaced blocks."""
+    total = sum(len(b) for b in blocks)
+    keys = []
+    budget = min(total, COUNT_SAMPLE)
+    step = max(1, int(np.ceil(total / budget)))
+    for i, b in enumerate(blocks):
+        if i % step or len(b) < 2:
+            continue
+        keys.append((b[:-1].astype(np.uint32) << np.uint32(16)) | b[1:])
+    if not keys:
+        return np.empty(0, np.uint32), np.empty(0, np.int64)
+    return np.unique(np.concatenate(keys), return_counts=True)
+
+
+def _select_pairs(blocks, sym_len, cap):
+    """Pick this round's pairs (sorted key array — L1-resident lookup)."""
+    uniq, counts = _sample_pair_counts(blocks)
+    if len(uniq) == 0:
+        return None
     hi, lo = uniq >> np.uint32(16), uniq & np.uint32(0xFFFF)
-    # drop sentinel-containing pairs, rare pairs, over-long symbols
     good = (
         (hi < DEAD) & (lo < DEAD)
         & (counts >= MIN_PAIR_COUNT)
@@ -90,67 +138,68 @@ def _pairing_round(
     )
     uniq, counts = uniq[good], counts[good]
     if len(uniq) == 0:
-        return codes, []
-    sel_sorted = np.sort(uniq[np.argsort(counts)[::-1][:cap]])
+        return None
+    sel = np.sort(uniq[np.argsort(counts)[::-1][:cap]])
+    pairs = [(int(k >> np.uint32(16)), int(k & np.uint32(0xFFFF))) for k in sel]
+    # two-level compact lookup: code→left-id, code→right-id (64 KB each)
+    # + a (≤97)² rank grid — everything cache-resident at 32-way
+    # concurrency, unlike a (lefts × 64Ki) table which thrashes L3
+    lefts = np.unique(sel >> np.uint32(16)).astype(np.int64)
+    rights = np.unique(sel & np.uint32(0xFFFF)).astype(np.int64)
+    nl, nr = len(lefts), len(rights)
+    lid = np.full(1 << 16, nl, dtype=np.uint8)      # nl = invalid row
+    rid = np.full(1 << 16, nr, dtype=np.uint8)      # nr = invalid col
+    lid[lefts] = np.arange(nl, dtype=np.uint8)
+    rid[rights] = np.arange(nr, dtype=np.uint8)
+    grid = np.full((nl + 1) * (nr + 1), -1, dtype=np.int16)
+    rows = lid[sel >> np.uint32(16)].astype(np.int64)
+    cols = rid[sel & np.uint32(0xFFFF)].astype(np.int64)
+    grid[rows * (nr + 1) + cols] = np.arange(len(sel), dtype=np.int16)
+    return (lid, rid, grid, nr + 1), pairs
 
-    # rank lookup via a (distinct-lefts × 64Ki) table: two gathers, no sort
-    lefts = np.unique(sel_sorted >> np.uint32(16)).astype(np.int64)
-    lid = np.full(1 << 16, -1, dtype=np.int16)
-    lid[lefts] = np.arange(len(lefts), dtype=np.int16)
-    tab = np.full((len(lefts), 1 << 16), -1, dtype=np.int16)
-    tab[lid[sel_sorted >> np.uint32(16)], sel_sorted & np.uint32(0xFFFF)] = (
-        np.arange(len(sel_sorted), dtype=np.int16)
-    )
-    a, b = codes[:-1], codes[1:]
-    la = lid[a]
-    rank_pos = tab[np.maximum(la, 0), b]
-    rank_pos[la < 0] = -1
-    cand = rank_pos >= 0
+
+def _substitute_block(
+    block: np.ndarray, lookup: tuple, first_code: int, sc: _Scratch,
+) -> np.ndarray:
+    """Apply this round's pairs to one block, scratch-only temporaries."""
+    lid, rid, grid, stride = lookup
+    m = len(block) - 1
+    if m < 1:
+        return block
+    a, b = block[:-1], block[1:]
+    flat = sc.i32a[:m]
+    np.take(lid, a, out=sc.u8a[:m])
+    np.take(rid, b, out=sc.u8b[:m])
+    np.copyto(flat, sc.u8a[:m])
+    np.multiply(flat, stride, out=flat)
+    np.add(flat, sc.u8b[:m], out=flat, casting="unsafe")
+    rank = sc.i16a[:m]
+    np.take(grid, flat, out=rank)
+    cand = sc.b1[:m]
+    np.greater_equal(rank, 0, out=cand)
     if not cand.any():
-        return codes, []
-    # alternate within each maximal run of consecutive candidates —
-    # adjacent matches overlap; non-adjacent never do. All mask math.
-    prev = np.empty_like(cand)
+        return block
+    prev = sc.b2[:m]
     prev[0] = False
     prev[1:] = cand[:-1]
-    run_start = cand & ~prev
-    pcount = cand.cumsum(dtype=np.int32)
-    base = np.maximum.accumulate(np.where(run_start, pcount, 0))
-    keep = cand & (((pcount - base) & 1) == 0)
-    rk = rank_pos[keep].astype(np.int64)
-    # a selected pair must still clear MIN_PAIR_COUNT after overlap loss
-    good_rank = np.bincount(rk, minlength=len(sel_sorted)) >= MIN_PAIR_COUNT
-    if not good_rank.any():
-        return codes, []
-    keep &= good_rank[np.maximum(rank_pos, 0)]
-    new_code = (next_code + np.cumsum(good_rank) - 1).astype(np.uint16)
-    codes[:-1][keep] = new_code[rank_pos[keep]]
-    tail = np.empty(len(codes), dtype=bool)
-    tail[0] = False
-    tail[1:] = keep
-    codes[tail] = DEAD
-    pairs = [
-        (int(sel_sorted[r] >> np.uint32(16)), int(sel_sorted[r] & np.uint32(0xFFFF)))
-        for r in np.flatnonzero(good_rank)
-    ]
-    return codes[codes != DEAD], pairs
-
-
-def _pair_counts(codes: np.ndarray, max_sample: int = COUNT_SAMPLE):
-    """Adjacent-pair frequencies, from contiguous sample blocks when large."""
-    n = len(codes)
-    if n <= max_sample:
-        key = (codes[:-1].astype(np.uint32) << np.uint32(16)) | codes[1:]
-        return np.unique(key, return_counts=True)
-    nblk = 8
-    blk = max_sample // nblk
-    starts = np.linspace(0, n - blk, nblk).astype(np.int64)
-    keys = [
-        (codes[s: s + blk - 1].astype(np.uint32) << np.uint32(16))
-        | codes[s + 1: s + blk]
-        for s in starts
-    ]
-    return np.unique(np.concatenate(keys), return_counts=True)
+    np.logical_not(prev, out=prev)
+    np.logical_and(cand, prev, out=prev)          # prev := run_start
+    pcount = sc.i32b[:m]
+    np.cumsum(cand, out=pcount)
+    base = sc.i32c[:m]
+    np.multiply(pcount, prev, out=base)
+    np.maximum.accumulate(base, out=base)
+    np.subtract(pcount, base, out=pcount)
+    np.bitwise_and(pcount, 1, out=pcount)
+    keep = sc.b3[:m]
+    np.equal(pcount, 0, out=keep)
+    np.logical_and(keep, cand, out=keep)
+    kept_rank = rank[keep]
+    if len(kept_rank) == 0:
+        return block
+    a[keep] = (first_code + kept_rank).astype(np.uint16)
+    b[keep] = DEAD
+    return block[block != DEAD]
 
 
 def encode_fsst(arr: pa.Array) -> tuple[bytes, dict]:
@@ -159,16 +208,23 @@ def encode_fsst(arr: pa.Array) -> tuple[bytes, dict]:
     if len(data) == 0:
         return b"", {"otype": otype, "syms": 0, "codes": 0,
                      "cwidth": 1, "swidth": 1, "lens": [0, 0, 0]}
-    codes = _build_stream(offsets, data)
+    blocks = _build_blocks(offsets, data)
+    sc = _scratch(max(len(b) for b in blocks))
     sym_len = np.ones(1 << 16, dtype=np.int64)  # code → expanded byte length
     table: list[tuple[int, int]] = []
     for cap in ROUND_CAPS:
-        codes, pairs = _pairing_round(codes, 256 + len(table), sym_len, cap)
-        if not pairs:
+        picked = _select_pairs(blocks, sym_len, cap)
+        if picked is None:
             break
+        lookup, pairs = picked
+        first_code = 256 + len(table)
+        blocks = [
+            _substitute_block(blk, lookup, first_code, sc) for blk in blocks
+        ]
         for left, right in pairs:
             sym_len[256 + len(table)] = sym_len[left] + sym_len[right]
             table.append((left, right))
+    codes = blocks[0] if len(blocks) == 1 else np.concatenate(blocks)
     # recover per-string code counts from the sentinels, then drop them
     sent = np.flatnonzero(codes == BOUND)
     counts = np.diff(np.concatenate(([-1], sent))) - 1

