@@ -1,0 +1,86 @@
+"""Scale-behavior checks: chunk zone-map pruning, column projection on
+the encoded format, and physical-plan audits (filter pushdown reaches
+the parquet scan; small-dim joins broadcast)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_producers_spark.datagen import source_code_df
+from parquet_producers_spark.encoder import (
+    decode_chunks,
+    encode_partitions,
+    project_chunks,
+    prune_chunks,
+)
+
+
+@pytest.fixture(scope="module")
+def chunk_table(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("chunks") / "t")
+    src = source_code_df(spark, 3000, seed=5, partitions=4)
+    encode_partitions(src, sort_cols=["repo", "path"], partitions=4,
+                      chunk_rows=256).write.mode("overwrite") \
+        .option("compression", "none").parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_zone_map_pruning(spark, chunk_table):
+    all_chunks = chunk_table.count()
+    pruned = prune_chunks(chunk_table, key_lo="org50", key_hi="org60")
+    kept = pruned.count()
+    assert 0 < kept < all_chunks, (kept, all_chunks)
+    # decoded pruned set still contains every row in the key range
+    decoded = decode_chunks(pruned, ordered=False)
+    want = decode_chunks(chunk_table, ordered=False).filter(
+        (F.col("repo") >= "org50") & (F.col("repo") <= "org60"))
+    assert decoded.filter(
+        (F.col("repo") >= "org50") & (F.col("repo") <= "org60")
+    ).count() == want.count()
+
+
+def test_column_projection(spark, chunk_table):
+    just_two = project_chunks(chunk_table, ["repo", "path"])
+    assert set(r.column for r in just_two.select("column").distinct().collect()) \
+        == {"repo", "path"}
+    decoded = decode_chunks(just_two, ordered=False)
+    assert decoded.columns == ["repo", "path"]
+    # blob bytes read drop accordingly
+    full = chunk_table.agg(F.sum("enc_bytes")).collect()[0][0]
+    slim = just_two.agg(F.sum("enc_bytes")).collect()[0][0]
+    assert slim < full * 0.5
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plan = (
+        li.filter(F.col("l_shipdate") <= "1995-01-01")
+        .select("l_orderkey", "l_quantity")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan, plan
+    assert "ReadSchema" in plan
+    # projection pruning: only the three referenced columns are read
+    schema_part = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in schema_part and "l_extendedprice" not in schema_part
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    plan = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_zone_map_filter_is_scan_pushable(spark, chunk_table, tmp_path):
+    # the zone-map predicate must be a plain column filter (parquet can
+    # evaluate it from row-group stats) — no UDF, no decode
+    path = str(tmp_path / "zz")
+    chunk_table.write.mode("overwrite").parquet(path)
+    reread = prune_chunks(spark.read.parquet(path), key_lo="org50")
+    plan = reread._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "key_max" in plan.split("PushedFilters")[1][:200], plan
