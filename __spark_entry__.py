@@ -137,6 +137,55 @@ def q_rollup_sales(spark, sf):
     )
 
 
+def q_cube_sales(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                     ).alias("revenue"),
+             F.count("*").alias("n"))
+    )
+
+
+def q_status_pivot(spark, sf):
+    """Pivot-shaped conditional aggregation (portable form of
+    df.groupBy().pivot()) — one column per order status."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.when(F.col("o_orderstatus") == "O",
+                                 F.col("o_totalprice")).otherwise(0)), 2
+                    ).alias("open_total"),
+            F.round(F.sum(F.when(F.col("o_orderstatus") == "F",
+                                 F.col("o_totalprice")).otherwise(0)), 2
+                    ).alias("finished_total"),
+            F.round(F.sum(F.when(F.col("o_orderstatus") == "P",
+                                 F.col("o_totalprice")).otherwise(0)), 2
+                    ).alias("pending_total"),
+        )
+    )
+
+
+def q_salted_top_events(spark, sf):
+    """Skew-safe two-stage aggregation (reference op 26 salting idiom):
+    per event_type totals computed via (key, salt) partials."""
+    from parquet_producers_spark.operators.salted import salted_agg
+
+    e = _t(spark, sf, "events")
+    return salted_agg(
+        e,
+        key_cols=["event_type"],
+        spread_col="event_id",
+        partial_aggs=[F.count("*").alias("pc"), F.sum("value").alias("ps")],
+        final_aggs=[
+            F.sum("pc").alias("n"),
+            F.round(F.sum("ps"), 4).alias("total_value"),
+        ],
+        n_salts=8,
+    )
+
+
 def q_customers_without_orders(spark, sf):
     o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
@@ -337,6 +386,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_rank_window": q_order_rank_window,
         "part_brand_stats": q_part_brand_stats,
         "rollup_sales": q_rollup_sales,
+        "cube_sales": q_cube_sales,
+        "status_pivot": q_status_pivot,
+        "salted_top_events": q_salted_top_events,
         "customers_without_orders": q_customers_without_orders,
         "repeat_buyers_intersect": q_repeat_buyers_intersect,
         "user_running_value": q_user_running_value,
@@ -467,6 +519,26 @@ FROM part GROUP BY p_brand
     sql["rollup_sales"] = """
 SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+    sql["cube_sales"] = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+    sql["status_pivot"] = """
+SELECT o_orderpriority,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS open_total,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS finished_total,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS pending_total
+FROM orders GROUP BY o_orderpriority
+"""
+
+    sql["salted_top_events"] = """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+FROM events GROUP BY event_type
 """
 
     sql["customers_without_orders"] = """

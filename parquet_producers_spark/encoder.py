@@ -109,15 +109,21 @@ def encode_partitions(
     chunk_rows: int = CHUNK_ROWS,
     cascade: bool = False,
     profile: str = "size",
+    key_col: str | None = None,
 ) -> DataFrame:
-    """Sorted-encode ``df`` into the chunk table (one row per chunk×column)."""
+    """Sorted-encode ``df`` into the chunk table (one row per chunk×column).
+
+    Pass ``sort_cols`` to shuffle-sort here, or pre-sort the input and
+    pass only ``key_col`` (zone-map column) — the narrow path a real
+    deployment uses when data is already clustered.
+    """
     if sort_cols:
         n = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
         df = df.repartitionByRange(int(n), *sort_cols).sortWithinPartitions(*sort_cols)
     elif partitions:
         df = df.repartition(partitions)
 
-    key_col = sort_cols[0] if sort_cols else None
+    key_col = key_col or (sort_cols[0] if sort_cols else None)
 
     def enc(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
