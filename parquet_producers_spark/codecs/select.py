@@ -41,6 +41,10 @@ def column_stats(arr: pa.Array) -> ColumnStats:
     n = len(arr)
     if n == 0:
         return ColumnStats(0, 0, 0, 0, 0)
+    if pa.types.is_nested(arr.type):
+        # lists/structs/maps have no equal/count_distinct kernels and go
+        # straight to the plain codec — skip the stats that need them
+        return ColumnStats(n, arr.null_count, n, n, arr.nbytes)
     n_runs = 1
     if n > 1:
         eq = pc.equal(arr.slice(1), arr.slice(0, n - 1))

@@ -215,6 +215,12 @@ def _arrow_type(name: str) -> pa.DataType:
     }
     if name in simple:
         return simple[name]
+    if name.startswith(("list<", "large_list<")):
+        inner = name.split("<", 1)[1].rsplit(">", 1)[0]
+        if ": " in inner:
+            inner = inner.split(": ", 1)[1]
+        elem = _arrow_type(inner)
+        return pa.large_list(elem) if name.startswith("large_list") else pa.list_(elem)
     if name.startswith("timestamp"):
         # e.g. "timestamp[us]" / "timestamp[us, tz=UTC]"
         unit = name.split("[")[1].split("]")[0].split(",")[0]
@@ -239,6 +245,8 @@ def _spark_type(t: pa.DataType) -> str:
         return "timestamp"
     if pa.types.is_date(t):
         return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"array<{_spark_type(t.value_type)}>"
     if pa.types.is_decimal(t):
         return f"decimal({t.precision},{t.scale})"
     raise TypeError(f"unmapped arrow type {t}")

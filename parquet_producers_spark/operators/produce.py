@@ -85,6 +85,38 @@ def empty_state(spark: SparkSession, stage: Stage, updates: DataFrame):
     return content, mappings
 
 
+class UpdateContractViolation(ValueError):
+    pass
+
+
+def validate_updates(updates: DataFrame, sk_cols: list[str]) -> None:
+    """Input-contract validation (reference op 23,
+    ParquetProduction.cs:326-337: per key either ONE Delete or ≥1
+    upserts, never mixed, no duplicate deletes). The reference enforces
+    sortedness too; Spark doesn't need sorted input, so the per-key
+    discipline is the surviving contract. One aggregation, fails fast."""
+    from pyspark.sql import functions as F
+
+    bad = (
+        updates.groupBy(*sk_cols)
+        .agg(
+            F.sum(F.when(F.col(UPDATE_TYPE) == "Delete", 1).otherwise(0)
+                  ).alias("n_del"),
+            F.sum(F.when(F.col(UPDATE_TYPE) != "Delete", 1).otherwise(0)
+                  ).alias("n_up"),
+        )
+        .filter((F.col("n_del") > 1)
+                | ((F.col("n_del") > 0) & (F.col("n_up") > 0)))
+        .limit(5)
+        .collect()
+    )
+    if bad:
+        raise UpdateContractViolation(
+            f"update stream violates one-delete-or-upserts per key: "
+            f"{[tuple(r) for r in bad]}"
+        )
+
+
 def run_produce(stage: Stage, upserts: DataFrame) -> DataFrame:
     """Grouped flat-map: one applyInPandas, zero per-row driver work.
 
@@ -121,13 +153,17 @@ def update_stage(
     prev_content: DataFrame,
     prev_mappings: DataFrame,
     updates: DataFrame,
+    validate: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """One incremental wave. Returns (content, mappings, updates_out).
 
     ``updates`` rows: (type, sk…, source-value…); per key either one
     Delete or ≥1 upserts carrying the key's full new value set
-    (reference README.md:139-144).
+    (reference README.md:139-144). ``validate=True`` enforces that
+    contract up front (op 23).
     """
+    if validate:
+        validate_updates(updates, stage.sk_cols)
     sk, tk = stage.sk_cols, stage.tk_cols
     pair_cols = tk + sk
 

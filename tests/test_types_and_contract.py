@@ -1,0 +1,56 @@
+"""Codec chunk-path round trip over every driver-table type (timestamps,
+doubles, longs, strings) and the op-23 update-contract validation."""
+
+from __future__ import annotations
+
+import pytest
+
+from parquet_producers_spark.encoder import decode_chunks, encode_partitions
+from parquet_producers_spark.operators.produce import (
+    UpdateContractViolation,
+    validate_updates,
+)
+
+
+@pytest.mark.parametrize("table,sort_col", [
+    ("orders", "o_orderkey"),      # long, string, double, timestamp
+    ("events", "event_id"),        # long, timestamp, double, string
+    ("part", "p_partkey"),         # long, strings, int, double
+])
+def test_chunk_roundtrip_all_types(spark, sf_dir, table, sort_col):
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    chunks = encode_partitions(df, sort_cols=[sort_col], partitions=2,
+                               chunk_rows=512)
+    decoded = decode_chunks(chunks)
+    a = sorted(tuple(r) for r in df.collect())
+    b = sorted(tuple(r) for r in decoded.collect())
+    assert a == b
+
+
+def test_embeddings_roundtrip_via_plain(spark, sf_dir):
+    # array<float> columns ride the plain (IPC) codec
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    chunks = encode_partitions(df, sort_cols=["vec_id"], partitions=2)
+    decoded = decode_chunks(chunks)
+    a = df.selectExpr("vec_id", "label", "aggregate(embedding, 0D, (s,x) -> s + x) as es").collect()
+    b = decoded.selectExpr("vec_id", "label", "aggregate(embedding, 0D, (s,x) -> s + x) as es").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_update_contract_validation(spark):
+    ok = spark.createDataFrame(
+        [("Update", 1, "a"), ("Update", 1, "b"), ("Delete", 2, None)],
+        "type string, sk int, v string")
+    validate_updates(ok, ["sk"])  # no raise
+
+    mixed = spark.createDataFrame(
+        [("Update", 1, "a"), ("Delete", 1, None)],
+        "type string, sk int, v string")
+    with pytest.raises(UpdateContractViolation):
+        validate_updates(mixed, ["sk"])
+
+    double_delete = spark.createDataFrame(
+        [("Delete", 1, None), ("Delete", 1, None)],
+        "type string, sk int, v string")
+    with pytest.raises(UpdateContractViolation):
+        validate_updates(double_delete, ["sk"])
