@@ -10,4 +10,5 @@ Public surface:
 from .base import CODECS, decode_array, encode_array  # noqa: F401
 from . import basic as _basic  # noqa: F401  (registers plain/dict/rle/ints)
 from . import fsst as _fsst    # noqa: F401  (registers fsst)
+from . import linedict as _linedict  # noqa: F401  (registers linedict)
 from .select import Choice, ColumnStats, choose_codec, column_stats  # noqa: F401

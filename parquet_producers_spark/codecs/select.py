@@ -94,6 +94,8 @@ def candidate_codecs(arr: pa.Array, stats: ColumnStats) -> list[str]:
             cands.append("rle")
         if (stats.avg_len or 0) >= 4 and stats.n_distinct / n > 0.01:
             cands.append("fsst")
+        if (stats.avg_len or 0) >= 60:
+            cands.append("linedict")  # long text → line-repeat structure
     return cands
 
 
@@ -108,7 +110,7 @@ class Choice:
 # few percent of size
 CODEC_SPEED = {
     "plain": 2000, "bitpack": 800, "for": 800, "delta": 700,
-    "rle": 500, "dict": 400, "fsst": 8,
+    "rle": 500, "dict": 400, "linedict": 150, "fsst": 8,
 }
 
 # a slow codec must beat every faster candidate's size by this margin

@@ -182,3 +182,39 @@ def test_stats_and_selection_rules():
 
 def test_every_registered_codec_has_decode():
     assert set(CODECS) >= {"plain", "dict", "rle", "bitpack", "for", "delta", "fsst"}
+
+
+# -------------------------------------------------------------- linedict
+
+
+@pytest.mark.parametrize("vals", [
+    [],
+    [""],
+    ["no newline at all"],
+    ["a\nb\nc", "a\nb\nc", "x"],
+    ["line1\n" * 50 + "tail", "", "\n", "\n\n\n"],
+    ["import os\nimport sys\n" * 20, "def f():\n    return 1\n"],
+])
+def test_linedict_edge_cases(vals):
+    arr = pa.array(vals, type=pa.string())
+    assert_identical(roundtrip(arr, "linedict"), arr)
+
+
+@given(st.lists(st.text(alphabet="ab\n ", max_size=60), max_size=150))
+@settings(max_examples=40, deadline=None)
+def test_linedict_property(vals):
+    arr = pa.array(vals, type=pa.string())
+    assert_identical(roundtrip(arr, "linedict"), arr)
+
+
+def test_linedict_wins_on_code():
+    from parquet_producers_spark.datagen import generate_batch
+
+    df = generate_batch(np.arange(2000), 100_000, 42)
+    arr = pa.array(df.content.tolist())
+    blob, params = encode_array(arr, "linedict")
+    assert len(blob) < arr.nbytes / 8  # >8x on line-repetitive code
+    assert params["values"]["codec"] == "fsst"  # dictionary fsst-compressed
+    from parquet_producers_spark.codecs import choose_codec
+
+    assert choose_codec(arr).codec == "linedict"
