@@ -221,6 +221,43 @@ def q_event_type_stats(spark, sf):
     )
 
 
+def q_asof_purchase(spark, sf):
+    """As-of join (custom operator — Spark has no native ASOF): for each
+    click, the user's latest purchase value at or before the click."""
+    from parquet_producers_spark.operators.joins import asof_join
+
+    e = _t(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value")
+    joined = asof_join(clicks, purchases, on=["user_id"],
+                       left_ts="ts", right_ts="ts", value_cols=["value"])
+    return joined.select(
+        "event_id", "user_id",
+        F.round(F.col("value_asof"), 4).alias("last_purchase_value"))
+
+
+def q_price_band_range_join(spark, sf):
+    """Binned range join (custom operator): orders classified into
+    price bands via interval join, not CASE — exercises the bin
+    equi-join + exact filter strategy."""
+    from parquet_producers_spark.operators.joins import range_join_binned
+
+    o = _t(spark, sf, "orders")
+    bands = spark.createDataFrame(
+        [(0.0, 50_000.0, "low"), (50_000.0, 200_000.0, "mid"),
+         (200_000.0, 1e12, "high")],
+        "lo double, hi double, band string")
+    joined = range_join_binned(o, bands, "o_totalprice", "lo", "hi",
+                               bin_width=50_000.0)
+    return (
+        joined.groupBy("band")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
 def q_producer_wordcount(spark, sf):
     return _producer_wordcount(spark, sf)
 
@@ -393,6 +430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeat_buyers_intersect": q_repeat_buyers_intersect,
         "user_running_value": q_user_running_value,
         "event_type_stats": q_event_type_stats,
+        "asof_purchase": q_asof_purchase,
+        "price_band_range_join": q_price_band_range_join,
         "producer_wordcount": q_producer_wordcount,
         "codec_roundtrip_sha": q_codec_roundtrip_sha,
         "codec_stats": q_codec_stats,
@@ -563,6 +602,25 @@ FROM events
 SELECT event_type, COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value,
        COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type
+"""
+
+    sql["asof_purchase"] = """
+SELECT l.event_id, l.user_id, ROUND(r.value, 4) AS last_purchase_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN
+     (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+    sql["price_band_range_join"] = """
+WITH bands(lo, hi, band) AS (
+  VALUES (0.0, 50000.0, 'low'), (50000.0, 200000.0, 'mid'),
+         (200000.0, 1e12, 'high')
+)
+SELECT band, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders JOIN bands
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
 """
 
     sql["producer_wordcount"] = """
