@@ -288,9 +288,29 @@ def update_stage(
 def bootstrap_stage(
     spark: SparkSession, stage: Stage, updates: DataFrame
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """First wave from empty state (reference 'bootstrapping' README.md:45-59)."""
-    content, mappings = empty_state(spark, stage, updates)
-    return update_stage(stage, content, mappings, updates)
+    """First wave from empty state (reference 'bootstrapping'
+    README.md:45-59) — fast path: with no previous state there are no
+    deletions, nothing retained and no touched-pair anti-joins; content
+    IS the produced set and every first-row-per-TK is an Add."""
+    sk, tk = stage.sk_cols, stage.tk_cols
+    upserts = updates.filter(F.col(UPDATE_TYPE) != "Delete")
+    produced = run_produce(stage, upserts)
+    if stage.preserve_col:
+        prev_content, _ = empty_state(spark, stage, updates)
+        produced = _apply_preserve(stage, produced, prev_content)
+    content = produced.select(*stage.content_cols)
+    mappings = produced.select(*sk, *tk)
+    first_w = Window.partitionBy(*tk).orderBy(*sk, *stage.value_cols)
+    updates_out = (
+        produced
+        .withColumn("__rn", F.row_number().over(first_w))
+        .withColumn(
+            UPDATE_TYPE,
+            F.when(F.col("__rn") == 1, "Add").otherwise("Update"),
+        )
+        .select(UPDATE_TYPE, *tk, *stage.value_cols)
+    )
+    return content, mappings, updates_out
 
 
 def _apply_preserve(
