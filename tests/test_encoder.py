@@ -69,7 +69,9 @@ def test_codec_choices_are_sane(spark, source):
     chosen = {}
     for r in chunks:
         chosen.setdefault(r.column, set()).add(r.codec)
-    # sorted repo column must get a run/dict-family codec, content gets fsst
+    # sorted repo column must get a run/dict-family codec; content gets a
+    # string-structure codec (linedict wins on line-repetitive code, fsst
+    # on flat text)
     assert chosen["repo"] <= {"rle", "dict"}, chosen
     assert chosen["lang"] <= {"rle", "dict"}, chosen
-    assert "fsst" in chosen["content"], chosen
+    assert chosen["content"] & {"linedict", "fsst"}, chosen
