@@ -116,6 +116,11 @@ CODEC_SPEED = {
 # a slow codec must beat every faster candidate's size by this margin
 PROFILE_SLACK = {"size": 0.0, "balanced": 0.20, "fast": 0.50}
 
+# codecs whose sample encode is expensive enough to gate (MB/s ≤ ~10)
+SLOW_CODECS = {"fsst"}
+# …measured only when the best fast candidate is worse than this ratio
+SLOW_WORTH_TRYING = 0.5
+
 
 def choose_codec(arr: pa.Array, stats: ColumnStats | None = None,
                  cascade: bool = False, profile: str = "size") -> Choice:
@@ -146,12 +151,24 @@ def encode_auto(
     cands = candidate_codecs(arr, stats)
     full = stats.n <= SAMPLE_ROWS
     sample = arr if full else arr.slice(0, SAMPLE_ROWS)
+    # fast candidates first; a slow candidate (fsst) is only *measured*
+    # when no fast codec reached a decent ratio — otherwise the sample
+    # encode of the slow codec dominates the whole chunk's encode time
+    fast = [c for c in cands if c not in SLOW_CODECS]
+    slow = [c for c in cands if c in SLOW_CODECS]
     results: dict[str, tuple[bytes, dict]] = {}
-    for name in cands:
+    for name in fast:
         try:
             results[name] = encode_array(sample, name, cascade=cascade)
         except (ValueError, TypeError):
             continue
+    best_fast = min(len(v[0]) for v in results.values())
+    if slow and best_fast > SLOW_WORTH_TRYING * max(sample.nbytes, 1):
+        for name in slow:
+            try:
+                results[name] = encode_array(sample, name, cascade=cascade)
+            except (ValueError, TypeError):
+                continue
     sizes = {k: len(v[0]) for k, v in results.items()}
     smin = min(sizes.values())
     slack = PROFILE_SLACK.get(profile, 0.0)

@@ -177,7 +177,19 @@ def test_stats_and_selection_rules():
 
     rng = random.Random(5)
     text = pa.array(_fake_code(rng, 4000))
-    assert choose_codec(text).codec == "fsst"
+    assert choose_codec(text).codec in ("fsst", "linedict")
+
+    # flat text (no line repeats, unique rows): linedict degenerates to
+    # whole-value dictionary whose dictionary is itself fsst'd, so the
+    # winner is one of the two fsst-backed codecs — and the slow-codec
+    # gate must have opened (fsst measured in the sample sizes)
+    flat = pa.array([
+        "".join(rng.choice(["ab", "cd", "ef", "gh", str(i)]) for _ in range(60))
+        for i in range(3000)
+    ])
+    ch = choose_codec(flat)
+    assert ch.codec in ("fsst", "linedict")
+    assert "fsst" in ch.sample_sizes or ch.codec == "linedict"
 
 
 def test_every_registered_codec_has_decode():
