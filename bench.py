@@ -182,7 +182,7 @@ def kernel_scaling_probe(src_path: str, cores_levels=(LOW_CPUS, HIGH_CPUS),
 
         def enc(batches):
             for b in batches:
-                arr = b.column("content").combine_chunks()
+                arr = b.column("content")
                 blob, _ = encode_array(arr, "fsst")
                 yield pa.record_batch(
                     [pa.array([len(blob)], pa.int64()),
