@@ -55,8 +55,19 @@ class Pipeline:
         return self._table(name, version, "updates")
 
     def version(self, name: str) -> int:
+        """Latest COMPLETE version: a crash mid-transaction leaves a
+        partial ``v=N+1`` (some tables missing / no _SUCCESS); those are
+        ignored, so a re-run of the same wave resumes from the last
+        committed version and overwrites the partial output."""
         vs = list_versions(self.root, name)
-        return vs[-1] if vs else 0
+        for v in reversed(vs):
+            if all(
+                os.path.exists(os.path.join(
+                    stage_dir(self.root, name, v, t), "_SUCCESS"))
+                for t in ("content", "mappings", "updates")
+            ):
+                return v
+        return 0
 
     def _write(self, name: str, version: int, table: str, df: DataFrame,
                sort_cols: list[str] | None = None) -> None:

@@ -170,3 +170,31 @@ def test_feeder_view_renames(spark):
     u, c = feeder_view(content, updates, ["tk"], ["v"], ["key"], ["val"])
     assert u.columns == ["type", "key", "val"]
     assert c.columns == ["key", "val"]
+
+
+def test_partial_version_is_ignored_and_overwritten(spark, tmp_path):
+    """Crash resume: a partial v=N+1 (missing _SUCCESS) left by a killed
+    transaction is invisible to version() and overwritten by the rerun."""
+    import os
+
+    from parquet_producers_spark.storage import stage_dir
+
+    p = Pipeline(spark, str(tmp_path))
+    p.add(Stage("phrases", ["src_id"], ["id"], ["text"], _identity,
+                "id int, text string"))
+    p.update({"phrases": spark.createDataFrame(
+        [("Add", 1, "hello world")], "type string, src_id int, text string")})
+    assert p.version("phrases") == 1
+
+    # simulate a crash that wrote only a partial content dir for v=2
+    partial = stage_dir(str(tmp_path), "phrases", 2, "content")
+    os.makedirs(partial)
+    with open(os.path.join(partial, "part-junk.parquet"), "wb") as f:
+        f.write(b"garbage")
+    assert p.version("phrases") == 1  # partial version ignored
+
+    v = p.update({"phrases": spark.createDataFrame(
+        [("Update", 1, "hello again")], "type string, src_id int, text string")})
+    assert v == 2
+    assert [(r.id, r.text) for r in p.content("phrases", 2).collect()] == [
+        (1, "hello again")]
