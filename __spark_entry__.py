@@ -19,6 +19,33 @@ from pyspark.sql import functions as F
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
+_REPO = __import__("os").path.dirname(__import__("os").path.abspath(__file__))
+if _REPO not in __import__("sys").path:
+    __import__("sys").path.insert(0, _REPO)
+
+
+def _ensure_pkg(spark: SparkSession) -> None:
+    """Ship the package to python workers regardless of the driver's
+    environment: build the --py-files zip lazily and addPyFile it.
+    Harmless if workers can already import the package (local cwd)."""
+    import os
+    import tempfile
+    import zipfile
+
+    zip_path = os.path.join(tempfile.gettempdir(), "pps_pyfiles.zip")
+    if not os.path.exists(zip_path):
+        pkg = os.path.join(_REPO, "parquet_producers_spark")
+        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
+            for r, _d, files in os.walk(pkg):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(r, f)
+                        z.write(full, os.path.relpath(full, _REPO))
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already added or context forbids — workers import via cwd
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -51,6 +78,7 @@ def _producer_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["pos"], produce=split_words,
         out_ddl="word string, pos int",
     )
+    _ensure_pkg(spark)
     docs = _t(spark, sf_dir, "documents")
     updates = docs.select(
         F.lit("Add").alias("type"), F.col("doc_id"), F.col("text")
@@ -267,6 +295,7 @@ def q_codec_roundtrip_sha(spark, sf):
     table with the codec engine, return per-row sha256."""
     from parquet_producers_spark.encoder import decode_chunks, encode_partitions
 
+    _ensure_pkg(spark)
     docs = _t(spark, sf, "documents").select("doc_id", "text")
     chunks = encode_partitions(docs, sort_cols=["doc_id"], partitions=4)
     decoded = decode_chunks(chunks, ordered=False)
@@ -277,6 +306,7 @@ def q_codec_stats(spark, sf):
     """Rows-only: per-codec encoded size of the documents table."""
     from parquet_producers_spark.encoder import encode_partitions
 
+    _ensure_pkg(spark)
     docs = _t(spark, sf, "documents")
     chunks = encode_partitions(docs, sort_cols=["doc_id"], partitions=4)
     return (
@@ -368,6 +398,7 @@ def q_multimodal_features(spark, sf):
         synthesize_media,
     )
 
+    _ensure_pkg(spark)
     d = _t(spark, sf, "documents")
     return extract_features(synthesize_media(d))
 
@@ -395,6 +426,7 @@ def q_producer_incremental_cdc(spark, sf):
         value_cols=["pos"], produce=split_words,
         out_ddl="word string, pos int",
     )
+    _ensure_pkg(spark)
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 50)
     boot = docs.select(F.lit("Add").alias("type"), "doc_id", "text")
     content, mappings, _ = bootstrap_stage(spark, stage, boot)
