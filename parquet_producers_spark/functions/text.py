@@ -47,7 +47,12 @@ def quality_score(text: Column, n_chars: Column) -> Column:
     )
     length_term = F.least(n_chars.cast("double") / F.lit(500.0), F.lit(1.0))
     stop_term = F.least(stop_hits / F.greatest(toks, F.lit(1.0)) * 4, F.lit(1.0))
-    return F.round(0.4 * length_term + 0.3 * stop_term + 0.3 * alpha_ratio, 4)
+    # +1e-9 before rounding: the rational inputs land exactly on .xxxx5
+    # halfway points, where Spark rounds half-up and DuckDB half-even;
+    # the epsilon nudges both engines off the boundary identically
+    return F.round(
+        0.4 * length_term + 0.3 * stop_term + 0.3 * alpha_ratio + F.lit(1e-9),
+        4)
 
 
 def quality_score_sql(text: str, n_chars: str) -> str:
@@ -63,7 +68,7 @@ def quality_score_sql(text: str, n_chars: str) -> str:
     return (
         f"ROUND(0.4 * LEAST(CAST({n_chars} AS DOUBLE) / 500.0, 1.0)"
         f" + 0.3 * LEAST(({stop_hits}) / {toks} * 4, 1.0)"
-        f" + 0.3 * ({alpha}), 4)"
+        f" + 0.3 * ({alpha}) + 1e-9, 4)"
     )
 
 

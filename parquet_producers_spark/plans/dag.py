@@ -138,15 +138,18 @@ class Pipeline:
                     ))
                 updates_in = read_sources(feeders, stage.sk_cols)
 
-            if based_on == 0 or not os.path.isdir(
-                stage_dir(self.root, name, based_on, "content")
-            ):
+            # previous state = this stage's own latest complete version —
+            # NOT based_on: a stage that skipped earlier transactions (or
+            # was added to the DAG later) still reconciles against the
+            # state it actually has, never silently against empty
+            prev_v = self.version(name)
+            if prev_v == 0:
                 prev_content, prev_mappings = empty_state(
                     self.spark, stage, updates_in
                 )
             else:
-                prev_content = self._table(name, based_on, "content")
-                prev_mappings = self._table(name, based_on, "mappings")
+                prev_content = self._table(name, prev_v, "content")
+                prev_mappings = self._table(name, prev_v, "mappings")
 
             content, mappings, updates_out = update_stage(
                 stage, prev_content, prev_mappings, updates_in

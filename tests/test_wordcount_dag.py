@@ -198,3 +198,34 @@ def test_partial_version_is_ignored_and_overwritten(spark, tmp_path):
     assert v == 2
     assert [(r.id, r.text) for r in p.content("phrases", 2).collect()] == [
         (1, "hello again")]
+
+
+def test_stage_added_later_reconciles_from_own_state(spark, tmp_path):
+    """A stage that skipped transactions (e.g. added to the DAG later)
+    must reconcile against its own latest state, not empty/based_on."""
+    p = Pipeline(spark, str(tmp_path))
+    p.add(Stage("phrases", ["src_id"], ["id"], ["text"], _identity,
+                "id int, text string"))
+    # two transactions on phrases alone → v2
+    p.update({"phrases": spark.createDataFrame(
+        [("Add", 1, "one two")], "type string, src_id int, text string")})
+    p.update({"phrases": spark.createDataFrame(
+        [("Add", 2, "three")], "type string, src_id int, text string")})
+    assert p.version("phrases") == 2
+
+    # now wire a downstream stage and run a third transaction
+    p.add(Stage("ids_by_word", ["id"], ["word"], ["val_id"], _split_words,
+                "word string, val_id int"), sources=["phrases"])
+    v3 = p.update({"phrases": spark.createDataFrame(
+        [("Add", 3, "four")], "type string, src_id int, text string")})
+    assert v3 == 3
+    # downstream only saw txn-3's update (id=3) — that's its bootstrap
+    assert sorted(r.word for r in p.content("ids_by_word", 3).collect()) == [
+        "four"]
+
+    # fourth transaction updates id=1; downstream reconciles against its
+    # own v3 state (not empty, not a nonexistent v3-era snapshot)
+    v4 = p.update({"phrases": spark.createDataFrame(
+        [("Update", 1, "five six")], "type string, src_id int, text string")})
+    assert sorted(r.word for r in p.content("ids_by_word", v4).collect()) == [
+        "five", "four", "six"]
