@@ -67,21 +67,26 @@ def _empty(spark: SparkSession, ddl: str) -> DataFrame:
 
 
 def empty_state(spark: SparkSession, stage: Stage, updates: DataFrame):
-    """(content, mappings) empty frames typed from the updates schema."""
-    sk_ddl = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in updates.schema.fields if f.name in stage.sk_cols
-    )
-    tk_value_ddl = stage.out_ddl
-    tk_ddl = ", ".join(
-        p.strip() for p in tk_value_ddl.split(",")
-        if p.strip().split()[0] in stage.tk_cols
-    )
-    content = _empty(spark, f"{tk_ddl}, {sk_ddl}, " + ", ".join(
-        p.strip() for p in tk_value_ddl.split(",")
-        if p.strip().split()[0] in stage.value_cols
-    ) if stage.value_cols else f"{tk_ddl}, {sk_ddl}")
-    mappings = _empty(spark, f"{sk_ddl}, {tk_ddl}")
+    """(content, mappings) empty frames typed from the updates schema +
+    the stage's output DDL (parsed by Spark — safe for decimal(p,s) and
+    other comma-bearing types)."""
+    from pyspark.sql.types import StructType
+
+    out_fields = {
+        f.name: f for f in _empty(spark, stage.out_ddl).schema.fields
+    }
+    sk_fields = {
+        f.name: f for f in updates.schema.fields if f.name in stage.sk_cols
+    }
+    content = spark.createDataFrame([], StructType(
+        [out_fields[c] for c in stage.tk_cols]
+        + [sk_fields[c] for c in stage.sk_cols]
+        + [out_fields[c] for c in stage.value_cols]
+    ))
+    mappings = spark.createDataFrame([], StructType(
+        [sk_fields[c] for c in stage.sk_cols]
+        + [out_fields[c] for c in stage.tk_cols]
+    ))
     return content, mappings
 
 

@@ -54,3 +54,29 @@ def test_update_contract_validation(spark):
         "type string, sk int, v string")
     with pytest.raises(UpdateContractViolation):
         validate_updates(double_delete, ["sk"])
+
+
+def test_decimal_keys_through_producer(spark):
+    """decimal(18,2) target keys flow through a stage (the reference's
+    credit-matching key uses decimal AbsAmount — Program.cs:66)."""
+    import pandas as pd
+    from decimal import Decimal
+
+    from parquet_producers_spark.operators.produce import Stage, bootstrap_stage
+
+    def produce(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "amt": pdf["amount"].abs(),
+            "inv": pdf["invoice"],
+        })
+
+    stage = Stage("dec", ["file"], ["amt"], ["inv"], produce,
+                  "amt decimal(18,2), inv string")
+    upd = spark.createDataFrame(
+        [("Add", "f", Decimal("10.50"), "a"),
+         ("Add", "f", Decimal("-10.50"), "b")],
+        "type string, file string, amount decimal(18,2), invoice string")
+    content, mappings, updates_out = bootstrap_stage(spark, stage, upd)
+    rows = sorted((str(r.amt), r.inv) for r in content.collect())
+    assert rows == [("10.50", "a"), ("10.50", "b")]
+    assert updates_out.filter("type = 'Add'").count() == 1
