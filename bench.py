@@ -65,6 +65,10 @@ def run_headline(spark) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    # untimed warm-up: session/codegen/python-worker startup shouldn't
+    # be billed to whichever query happens to run first
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    qs["text_quality"](spark, SF_DIR).limit(10).collect()
     out: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.monotonic()
@@ -218,8 +222,10 @@ def kernel_scaling_probe(src_path: str, cores_levels=(LOW_CPUS, HIGH_CPUS),
         }
     lo = out[f"local[{cores_levels[0]}]"]["content_gbps"]
     hi = out[f"local[{cores_levels[-1]}]"]["content_gbps"]
-    out["scaling_efficiency"] = round(
-        (hi / lo) / (cores_levels[-1] / cores_levels[0]), 3) if lo else 0.0
+    # clamp: >1 is measurement noise (a degraded low-level rep), not
+    # super-linear scaling
+    out["scaling_efficiency"] = min(round(
+        (hi / lo) / (cores_levels[-1] / cores_levels[0]), 3), 1.0) if lo else 0.0
     return out
 
 
@@ -303,11 +309,10 @@ def main() -> None:
 
             low = best(LOW_CPUS)
             high = best(HIGH_CPUS)
-            eff = (
+            eff = min(
                 (high["content_gbps"] / low["content_gbps"])
-                / (HIGH_CPUS / LOW_CPUS)
-                if low["content_gbps"] else 0.0
-            )
+                / (HIGH_CPUS / LOW_CPUS), 1.0,
+            ) if low["content_gbps"] else 0.0
             modes[tag] = {
                 f"local[{LOW_CPUS}]": low,
                 f"local[{HIGH_CPUS}]": high,
