@@ -32,15 +32,20 @@ def _ensure_pkg(spark: SparkSession) -> None:
     import tempfile
     import zipfile
 
-    zip_path = os.path.join(tempfile.gettempdir(), "pps_pyfiles.zip")
+    pkg = os.path.join(_REPO, "parquet_producers_spark")
+    sources = sorted(
+        os.path.join(r, f)
+        for r, _d, files in os.walk(pkg) for f in files if f.endswith(".py")
+    )
+    # name the zip by source mtimes so edited code is re-shipped to
+    # workers instead of silently reusing a stale bundle
+    stamp = max((int(os.path.getmtime(p)) for p in sources), default=0)
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"pps_pyfiles_{stamp}_{len(sources)}.zip")
     if not os.path.exists(zip_path):
-        pkg = os.path.join(_REPO, "parquet_producers_spark")
         with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
-            for r, _d, files in os.walk(pkg):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(r, f)
-                        z.write(full, os.path.relpath(full, _REPO))
+            for full in sources:
+                z.write(full, os.path.relpath(full, _REPO))
     try:
         spark.sparkContext.addPyFile(zip_path)
     except Exception:
@@ -325,11 +330,15 @@ def q_dedup_exact(spark, sf):
     )
 
 
+JACCARD_MAX_DF = 100  # df-prune cap: shingles in more docs carry no signal
+
+
 def q_dedup_ngram_jaccard(spark, sf):
     from parquet_producers_spark.functions.dedup import jaccard_pairs
 
     d = _t(spark, sf, "documents")
-    return jaccard_pairs(d, "text", k=3, threshold=0.2)
+    return jaccard_pairs(d, "text", k=3, threshold=0.2,
+                         max_df=JACCARD_MAX_DF)
 
 
 def q_dedup_minhash(spark, sf):
@@ -355,6 +364,20 @@ def q_dedup_simhash(spark, sf):
 
     d = _t(spark, sf, "documents")
     return simhash(d.filter(F.col("doc_id") < 300), "text", bits=16)
+
+
+def q_dedup_simhash_pairs(spark, sf):
+    """Banded near-dup pairs: pigeonhole segments → equi-join → exact
+    hamming filter (no cartesian; the DuckDB oracle IS the brute-force
+    all-pairs join, proving the banded result identical)."""
+    from parquet_producers_spark.functions.dedup import (
+        simhash,
+        simhash_near_pairs,
+    )
+
+    d = _t(spark, sf, "documents")
+    sig = simhash(d.filter(F.col("doc_id") < 300), "text", bits=16)
+    return simhash_near_pairs(sig, max_hamming=3, bits=16)
 
 
 def q_text_quality(spark, sf):
@@ -403,17 +426,8 @@ def q_multimodal_features(spark, sf):
     return extract_features(synthesize_media(d))
 
 
-def q_producer_incremental_cdc(spark, sf):
-    """Rows-only: incremental update wave over the producer engine —
-    bootstraps on even doc_ids, applies a wave updating a handful of
-    keys and deleting others, returns the CDC stream."""
+def _split_words_produce():
     import pandas as pd
-
-    from parquet_producers_spark.operators.produce import (
-        Stage,
-        bootstrap_stage,
-        update_stage,
-    )
 
     def split_words(key, pdf: pd.DataFrame) -> pd.DataFrame:
         words = []
@@ -421,9 +435,24 @@ def q_producer_incremental_cdc(spark, sf):
             words.extend(t.split(" "))
         return pd.DataFrame({"word": words, "pos": range(len(words))})
 
+    return split_words
+
+
+def _cdc_wave_state(spark, sf):
+    """Shared incremental scenario (oracle-checkable because every step
+    is a deterministic function of the documents table): bootstrap on
+    doc_id<50, then one wave deleting docs 0-2 and updating docs 3-5
+    (text + ' extraword'). Returns (content, mappings, updates_out)
+    AFTER the wave."""
+    from parquet_producers_spark.operators.produce import (
+        Stage,
+        bootstrap_stage,
+        update_stage,
+    )
+
     stage = Stage(
         name="cdc_words", sk_cols=["doc_id"], tk_cols=["word"],
-        value_cols=["pos"], produce=split_words,
+        value_cols=["pos"], produce=_split_words_produce(),
         out_ddl="word string, pos int",
     )
     _ensure_pkg(spark)
@@ -439,12 +468,69 @@ def q_producer_incremental_cdc(spark, sf):
             .otherwise(F.concat(F.col("text"), F.lit(" extraword"))).alias("text"),
         )
     )
-    _c, _m, updates_out = update_stage(stage, content, mappings, wave)
+    return update_stage(stage, content, mappings, wave)
+
+
+def q_producer_incremental_cdc(spark, sf):
+    """Incremental reconcile + CDC classification (ops 11-19), oracle-
+    verified: the per-type event counts must equal the SQL re-derivation
+    of the reference's update semantics (Add iff TK unseen, retained
+    rows of touched TKs re-emitted, Delete iff nothing survives)."""
+    _c, _m, updates_out = _cdc_wave_state(spark, sf)
     return (
         updates_out.groupBy("type")
         .agg(F.count("*").alias("n_events"),
              F.countDistinct("word").alias("n_words"))
     )
+
+
+def q_producer_incremental_content(spark, sf):
+    """Post-wave CONTENT equals a full recompute over the post-wave
+    document set — the reconcile core's end-state invariant (ops 11-14):
+    retained rows + produced rows must be exactly what bootstrapping
+    from scratch on the new documents would give."""
+    content, _m, _u = _cdc_wave_state(spark, sf)
+    return content.select("word", "doc_id", "pos")
+
+
+def q_producer_preserved_ids(spark, sf):
+    """Surrogate-id preservation (op 20): bootstrap assigns each word a
+    rank-ordered id; a wave adding novel words must keep every existing
+    word's id and number the novel ones max+rank. SQL-expressible, so
+    fully oracle-checked."""
+    import pandas as pd
+
+    from parquet_producers_spark.operators.produce import (
+        Stage,
+        bootstrap_stage,
+        update_stage,
+    )
+
+    def gen_word_ids(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        words = []
+        for t in pdf["text"]:
+            words.extend(t.split(" "))
+        return pd.DataFrame({"word": words, "wid": [0] * len(words)})
+
+    stage = Stage(
+        name="preserved_words", sk_cols=["doc_id"], tk_cols=["word"],
+        value_cols=["wid"], produce=gen_word_ids,
+        out_ddl="word string, wid int", preserve_col="wid",
+    )
+    _ensure_pkg(spark)
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 30)
+    boot = docs.select(F.lit("Add").alias("type"), "doc_id", "text")
+    content, mappings, _ = bootstrap_stage(spark, stage, boot)
+    wave = (
+        docs.filter(F.col("doc_id") < 3)
+        .select(
+            F.lit("Update").alias("type"), "doc_id",
+            F.concat(F.col("text"), F.lit(" zzznovel"),
+                     F.col("doc_id").cast("string")).alias("text"),
+        )
+    )
+    content2, _m, _u = update_stage(stage, content, mappings, wave)
+    return content2.select("word", "wid").distinct()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -472,11 +558,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "text_quality": q_text_quality,
         "embedding_knn": q_embedding_knn,
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "multimodal_features": q_multimodal_features,
         "producer_incremental_cdc": q_producer_incremental_cdc,
+        "producer_incremental_content": q_producer_incremental_content,
+        "producer_preserved_ids": q_producer_preserved_ids,
     }
 
 
@@ -516,6 +605,7 @@ sigs AS (
 
 
 def _simhash_sql(bits: int) -> str:
+    """CTE chain ending in ``sims(doc_id, simhash)``."""
     th = _hash_sql("tok", 99)
     bit_sums = ", ".join(
         f"SUM(CASE WHEN (({th}) >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
@@ -531,9 +621,19 @@ WITH toks AS (
     FROM documents WHERE doc_id < 300
   ) WHERE length(tok) > 0 GROUP BY doc_id, tok
 ),
-bit_sums AS (SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id)
-SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM bit_sums
+bit_sums AS (SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id),
+sims AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM bit_sums)
 """
+
+
+# per-doc (word, pos) split of a document set — matches the producer's
+# split_words exactly (0-based position within the doc's text)
+def _words_sql(src: str) -> str:
+    return f"""(
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         unnest(range(0, len(string_split(text, ' ')))) AS pos
+  FROM {src}
+)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -670,12 +770,18 @@ SELECT COUNT(DISTINCT md5(text)) AS n_unique, COUNT(*) AS n_total
 FROM documents
 """
 
+    # shingles df-pruned at max_df (mirrors jaccard_pairs' skew cap:
+    # sizes AND intersections both computed over the pruned set)
     sql["dedup_ngram_jaccard"] = f"""
 WITH {_SHINGLES_SQL},
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+rare AS (SELECT shingle FROM shingles GROUP BY shingle
+         HAVING COUNT(DISTINCT doc_id) <= {JACCARD_MAX_DF}),
+pruned AS (SELECT s.doc_id, s.shingle FROM shingles s
+           JOIN rare r ON s.shingle = r.shingle),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM pruned GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-  FROM shingles a JOIN shingles b
+  FROM pruned a JOIN pruned b
     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
@@ -711,7 +817,17 @@ FROM buckets a JOIN buckets b
 """
     )
 
-    sql["dedup_simhash"] = _simhash_sql(16)
+    sql["dedup_simhash"] = _simhash_sql(16) + \
+        "SELECT doc_id, simhash FROM sims"
+
+    # brute-force all-pairs hamming — proves the banded (pigeonhole)
+    # Spark pair-finder loses nothing
+    sql["dedup_simhash_pairs"] = _simhash_sql(16) + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
 
     sql["text_quality"] = f"""
 SELECT doc_id,
@@ -756,6 +872,111 @@ SELECT doc_id,
 FROM documents
 """
 
-    # codec_stats / embedding_ann_lsh / producer_incremental_cdc are
-    # engine-specific (rows-only checks)
+    # ---- incremental reconcile core (ops 11-19): SQL re-derivation of
+    # the reference's update semantics over the _cdc_wave_state scenario
+    # (bootstrap doc_id<50; wave deletes 0-2, updates 3-5 with
+    # ' extraword'). See produce.py module docstring for the set-wise
+    # restatement these CTEs implement.
+
+    _CDC_SETS = f"""
+WITH old_words AS (
+  SELECT * FROM {_words_sql("(SELECT doc_id, text FROM documents WHERE doc_id < 50)")}
+),
+produced AS (
+  SELECT * FROM {_words_sql("(SELECT doc_id, text || ' extraword' AS text FROM documents WHERE doc_id >= 3 AND doc_id < 6)")}
+),
+deleted_pairs AS (
+  SELECT DISTINCT word, doc_id FROM old_words WHERE doc_id < 6
+),
+touched_pairs AS (
+  SELECT word, doc_id FROM deleted_pairs
+  UNION
+  SELECT DISTINCT word, doc_id FROM produced
+),
+retained AS (
+  SELECT ow.doc_id, ow.word, ow.pos FROM old_words ow
+  ANTI JOIN touched_pairs tp
+    ON ow.word = tp.word AND ow.doc_id = tp.doc_id
+)
+"""
+
+    # end-state invariant: content after the wave == full recompute
+    sql["producer_incremental_content"] = _CDC_SETS + """
+SELECT word, doc_id, CAST(pos AS INT) AS pos FROM retained
+UNION ALL
+SELECT word, doc_id, CAST(pos AS INT) AS pos FROM produced
+"""
+
+    # CDC classification: Add iff TK unseen (first produced row only),
+    # retained rows of touched TKs re-emitted as Update, Delete iff a
+    # deletion touched the TK and no row survives
+    sql["producer_incremental_cdc"] = _CDC_SETS + """
+, tk_existed AS (SELECT DISTINCT word FROM old_words),
+touched_tks AS (SELECT DISTINCT word FROM touched_pairs),
+new_content_words AS (
+  SELECT word FROM retained UNION SELECT word FROM produced
+),
+prod_events AS (
+  SELECT CASE WHEN te.word IS NULL AND p.rn = 1 THEN 'Add'
+              ELSE 'Update' END AS type, p.word
+  FROM (SELECT word, ROW_NUMBER() OVER (PARTITION BY word
+                                        ORDER BY doc_id, pos) AS rn
+        FROM produced) p
+  LEFT JOIN tk_existed te ON p.word = te.word
+),
+reemit_events AS (
+  SELECT 'Update' AS type, r.word FROM retained r
+  SEMI JOIN touched_tks t ON r.word = t.word
+),
+delete_events AS (
+  SELECT 'Delete' AS type, d.word
+  FROM (SELECT DISTINCT word FROM deleted_pairs) d
+  ANTI JOIN new_content_words n ON d.word = n.word
+),
+all_events AS (
+  SELECT * FROM prod_events
+  UNION ALL SELECT * FROM reemit_events
+  UNION ALL SELECT * FROM delete_events
+)
+SELECT type, COUNT(*) AS n_events, COUNT(DISTINCT word) AS n_words
+FROM all_events GROUP BY type
+"""
+
+    # op 20: bootstrap ids are rank-by-word; wave keeps existing ids and
+    # numbers novel words max+rank
+    sql["producer_preserved_ids"] = """
+WITH boot_words AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+  FROM documents WHERE doc_id < 30
+),
+boot_ids AS (
+  SELECT word, CAST(DENSE_RANK() OVER (ORDER BY word) AS INT) AS wid
+  FROM boot_words
+),
+retained_words AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+  FROM documents WHERE doc_id >= 3 AND doc_id < 30
+),
+produced_words AS (
+  SELECT DISTINCT unnest(string_split(
+    text || ' zzznovel' || CAST(doc_id AS VARCHAR), ' ')) AS word
+  FROM documents WHERE doc_id < 3
+),
+novel_ids AS (
+  SELECT word,
+         CAST((SELECT MAX(wid) FROM boot_ids)
+              + DENSE_RANK() OVER (ORDER BY word) AS INT) AS wid
+  FROM (SELECT p.word FROM produced_words p
+        ANTI JOIN boot_words b ON p.word = b.word)
+),
+final_words AS (
+  SELECT word FROM retained_words UNION SELECT word FROM produced_words
+)
+SELECT f.word, COALESCE(b.wid, n.wid) AS wid
+FROM final_words f
+LEFT JOIN boot_ids b ON f.word = b.word
+LEFT JOIN novel_ids n ON f.word = n.word
+"""
+
+    # codec_stats / embedding_ann_lsh are engine-specific (rows-only)
     return sql

@@ -5,15 +5,24 @@ Shapes chosen for 100 TB scale:
 * exact — one hash-groupBy; partial aggregation map-side, no row data
   shuffled beyond (hash, count);
 * n-gram Jaccard — shingle explode + self-join on shingle. Hot
-  shingles are the skew hazard: the candidate generator caps per-
-  shingle fan-out via a distinct-pair pre-aggregation, and production
-  use at scale goes through MinHash-LSH instead (this is the exact
-  verifier);
+  shingles are the skew hazard: ``max_df`` document-frequency pruning
+  drops shingles shared by more than ``max_df`` documents before the
+  self-join (standard df-pruning — stop-shingles like "the quick" carry
+  no near-dup signal but quadratic join cost), bounding per-shingle
+  fan-out to ``max_df²``. Production use at scale goes through
+  MinHash-LSH instead (this is the exact verifier);
 * MinHash — H portable md5-derived hash functions, min per hash over
   token shingles; LSH bands group signatures into bucket keys so the
   candidate join is an equi-join on (band, bucket) — linear, no n²;
+  the signature frame is scanned ONCE (bands exploded from an array,
+  not unioned per band);
 * SimHash — B-bit signature from per-token hashes; near-dup iff
-  hamming distance ≤ r (bit_count(xor)).
+  hamming distance ≤ r (bit_count(xor)). Pair finding is banded by the
+  pigeonhole principle: split B bits into r+1 disjoint segments — any
+  pair within hamming r agrees exactly on ≥1 segment — so candidates
+  come from an equi-join on (segment_idx, segment_bits), then the
+  exact hamming filter runs on candidates only. No cartesian, and no
+  false negatives: the result equals the brute-force join.
 
 All arithmetic is md5-based and deliberately reproducible in ANSI SQL
 (functions.text.portable_hash64) so the DuckDB oracle can verify
@@ -54,10 +63,28 @@ def word_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFram
 
 
 def jaccard_pairs(
-    df: DataFrame, text_col: str = "text", k: int = 3, threshold: float = 0.5
+    df: DataFrame, text_col: str = "text", k: int = 3,
+    threshold: float = 0.5, max_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥ threshold)."""
+    """Exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥ threshold).
+
+    ``max_df`` prunes shingles appearing in more than that many
+    documents BEFORE the self-join (skew cap: a shingle shared by d
+    docs contributes d² candidate rows). Sizes and intersections are
+    both computed over the pruned shingle set, so the reported jaccard
+    is self-consistent (feature space = informative shingles only).
+    The threshold compares the UNROUNDED ratio; rounding is applied
+    only to the projected output column (mirrors the SQL oracle).
+    """
     sh = word_shingles(df, text_col, k)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.countDistinct("doc_id").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -68,19 +95,15 @@ def jaccard_pairs(
                  F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
     )
+    raw = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
     return (
         inter
         .join(sizes.withColumnRenamed("doc_id", "doc_a")
                     .withColumnRenamed("sz", "sz_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b")
                     .withColumnRenamed("sz", "sz_b"), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter")
-                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .filter(raw >= threshold)
+        .select("doc_a", "doc_b", F.round(raw, 4).alias("jaccard"))
     )
 
 
@@ -96,22 +119,31 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def lsh_buckets(
+    signatures: DataFrame, h: int = MINHASH_H, bands: int = LSH_BANDS
+) -> DataFrame:
+    """(doc_id, band, bucket) — ONE scan of the signature frame: the
+    per-band bucket keys are built as an array of structs and exploded,
+    instead of unioning ``bands`` filtered scans."""
+    rows = h // bands
+    entries = []
+    for band in range(bands):
+        cols = [F.col(f"mh_{band * rows + r}") for r in range(rows)]
+        bucket = F.md5(F.concat_ws(
+            "_", F.lit(band), *[c.cast("string") for c in cols]))
+        entries.append(F.struct(F.lit(band).alias("band"),
+                                bucket.alias("bucket")))
+    return (
+        signatures.select("doc_id", F.explode(F.array(*entries)).alias("e"))
+        .select("doc_id", "e.band", "e.bucket")
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, h: int = MINHASH_H, bands: int = LSH_BANDS
 ) -> DataFrame:
     """Candidate pairs from banded LSH: equi-join on (band, bucket)."""
-    rows = h // bands
-    bucket_frames = []
-    for band in range(bands):
-        cols = [F.col(f"mh_{band * rows + r}") for r in range(rows)]
-        bucket = F.md5(F.concat_ws("_", F.lit(band), *[c.cast("string") for c in cols]))
-        bucket_frames.append(
-            signatures.select("doc_id", F.lit(band).alias("band"),
-                              bucket.alias("bucket"))
-        )
-    buckets = bucket_frames[0]
-    for bf in bucket_frames[1:]:
-        buckets = buckets.unionByName(bf)
+    buckets = lsh_buckets(signatures, h, bands)
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -145,17 +177,58 @@ def simhash(df: DataFrame, text_col: str = "text",
     return bit_sums.select("doc_id", sig.cast("bigint").alias("simhash"))
 
 
-def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by simhash hamming distance (exact verifier shape;
-    at scale candidates come from bucketing on signature prefixes)."""
-    a, b = sig.alias("a"), sig.alias("b")
-    ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    )
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .withColumn("hamming", ham)
-        .filter(F.col("hamming") <= max_hamming)
+def _simhash_segments(bits: int, max_hamming: int) -> list[tuple[int, int]]:
+    """(shift, width) of the r+1 disjoint bit segments (pigeonhole)."""
+    n_seg = max_hamming + 1
+    base, extra = divmod(bits, n_seg)
+    segs, lo = [], 0
+    for i in range(n_seg):
+        w = base + (1 if i < extra else 0)
+        segs.append((lo, w))
+        lo += w
+    return segs
+
+
+def simhash_near_pairs(
+    sig: DataFrame, max_hamming: int = 3, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance — banded, no cartesian.
+
+    Pigeonhole: with the B signature bits split into ``max_hamming+1``
+    disjoint segments, any pair within hamming ``max_hamming`` agrees
+    exactly on at least one segment. Candidates are therefore an
+    EQUI-join on (segment_idx, segment_bits) — same bucketed shape as
+    :func:`lsh_candidate_pairs` — followed by the exact
+    ``bit_count(xor) <= r`` filter. Result is identical to the
+    brute-force all-pairs join (which the DuckDB oracle runs), at
+    ~n/2^w candidates per segment bucket instead of n² total.
+    """
+    segs = _simhash_segments(bits, max_hamming)
+    entries = [
+        F.struct(
+            F.lit(i).alias("seg"),
+            F.shiftright(F.col("simhash"), lo)
+            .bitwiseAND(F.lit((1 << w) - 1)).alias("segbits"),
+        )
+        for i, (lo, w) in enumerate(segs)
+    ]
+    keyed = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*entries)).alias("e")
+    ).select("doc_id", "simhash", "e.seg", "e.segbits")
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(b, (F.col("a.seg") == F.col("b.seg"))
+               & (F.col("a.segbits") == F.col("b.segbits"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"), "hamming")
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash").alias("sig_a"),
+                F.col("b.simhash").alias("sig_b"))
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
     )

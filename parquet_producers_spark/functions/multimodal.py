@@ -56,32 +56,35 @@ _STUB_DECODERS = {"image/png": _stub_decode_image, "audio/wav": _stub_decode_aud
 
 
 def extract_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads.
+    """Feature extraction over binary payloads.
 
-    The pandas UDF sees whole Arrow batches; per-element work is
-    vectorizable where the decoder allows (the stub uses plain column
-    ops for everything except the per-payload decode call, which is
-    where a real codec slots in).
+    Everything expressible as a JVM expression stays JVM-side (whole-
+    stage codegen): byte length via ``octet_length``, first byte via
+    ``hex(substring)``, checksum via ``sha2`` — no per-row Python for
+    metadata. Only the decode call (where a real media codec slots in)
+    crosses into an Arrow-batched pandas UDF, and the payload crosses
+    INTO Python once but never back out (the UDF returns just the
+    decoded feature columns alongside the pass-through metadata).
     """
+    p = F.col("payload")
+    enriched = media.select(
+        "doc_id", "media_type", "payload",
+        F.octet_length(p).alias("n_bytes"),
+        F.when(F.octet_length(p) > 0,
+               F.conv(F.hex(F.substring(p, 1, 1)), 16, 10).cast("int"))
+        .otherwise(F.lit(-1)).alias("first_byte"),
+        F.sha2(p, 256).alias("checksum"),
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
         for pdf in batches:
-            n_bytes = pdf["payload"].map(len)
             dims = [
                 _STUB_DECODERS[mt](p)["feature_dim"]
                 for mt, p in zip(pdf["media_type"], pdf["payload"])
             ]
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "media_type": pdf["media_type"],
-                "n_bytes": n_bytes,
-                "first_byte": pdf["payload"].map(
-                    lambda b: b[0] if len(b) else -1),
-                "feature_dim": dims,
-                "checksum": pdf["payload"].map(
-                    lambda b: hashlib.sha256(b).hexdigest()),
-            })
+            out = pdf.drop(columns=["payload"])
+            out["feature_dim"] = dims
+            yield out[["doc_id", "media_type", "n_bytes", "first_byte",
+                       "feature_dim", "checksum"]]
 
-    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+    return enriched.mapInPandas(run, schema=FEATURE_SCHEMA)

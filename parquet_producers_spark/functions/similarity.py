@@ -85,12 +85,18 @@ def lsh_bucket(vec, planes: list[list[float]]):
 def lsh_ann_topk(
     corpus: DataFrame, probes: DataFrame, k: int = 5, bits: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,
+    multi_probe: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the probe's bucket.
 
-    At 100 TB the corpus is bucketed once (a write-side repartition on
-    the bucket key) and probes do a co-partitioned equi-join — no
-    all-pairs shuffle.
+    ``multi_probe`` additionally probes every Hamming-1 neighbor bucket
+    (each single-plane sign flip) — the standard recall fix for vectors
+    near a hyperplane, raising candidates per probe from n/2^B to
+    (B+1)·n/2^B while staying an equi-join (the probe side explodes its
+    B+1 bucket keys; the corpus side is untouched, so at 100 TB the
+    corpus stays bucketed once and only the tiny probe frame fans out).
+    Candidate pairs reached via several buckets are deduped before
+    scoring.
     """
     from pyspark.sql import Window
 
@@ -99,11 +105,22 @@ def lsh_ann_topk(
         F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nbr_vec"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
+    own = lsh_bucket(F.col(vec_col), planes)
+    if multi_probe:
+        probe_buckets = F.explode(F.array(
+            own, *[own.bitwiseXOR(F.lit(1 << i)) for i in range(bits)]
+        ))
+    else:
+        probe_buckets = own
     p = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        probe_buckets.alias("bucket"),
     )
-    joined = p.join(c, "bucket").filter(F.col("probe_id") != F.col("nbr_id"))
+    joined = (
+        p.join(c, "bucket")
+        .filter(F.col("probe_id") != F.col("nbr_id"))
+        .dropDuplicates(["probe_id", "nbr_id"])
+    )
     scored = with_cosine(joined, "probe_vec", "nbr_vec")
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return (

@@ -55,11 +55,27 @@ class Stage:
     produce: Callable[[tuple, pd.DataFrame], pd.DataFrame]
     out_ddl: str  # spark DDL for tk_cols + value_cols, e.g. "word string, id int"
     preserve_col: Optional[str] = None  # surrogate-id column kept stable per TK
+    # general PreserveKeyValues hook (reference
+    # ParquetProducerOptions.cs:16-28 passes the whole previous value to
+    # an arbitrary user action). Two DataFrame-native forms:
+    # * preserve_cols — produced rows of an EXISTING TK inherit these
+    #   value columns from that TK's example previous row (min-SK row);
+    #   novel TKs keep what produce emitted. Pure column ops, no Python.
+    # * preserve_merge — arbitrary logic: pandas callable receiving the
+    #   produced batch plus `__prev_<col>` example columns (null for
+    #   novel TKs), returning the final value columns. Arrow-batched.
+    preserve_cols: list[str] = field(default_factory=list)
+    preserve_merge: Optional[Callable[[pd.DataFrame], pd.DataFrame]] = None
     sources: list["Stage"] = field(default_factory=list)
 
     @property
     def content_cols(self) -> list[str]:
         return self.tk_cols + self.sk_cols + self.value_cols
+
+    @property
+    def has_preserve(self) -> bool:
+        return bool(self.preserve_col or self.preserve_cols
+                    or self.preserve_merge)
 
 
 def _empty(spark: SparkSession, ddl: str) -> DataFrame:
@@ -173,7 +189,10 @@ def run_produce(stage: Stage, upserts: DataFrame,
 
     def emit(body: pd.DataFrame):
         outs = []
-        for key, g in body.groupby(sk_cols, sort=False):
+        # dropna=False: null source keys form a group like any other —
+        # the 'grouped' (Spark groupBy) path keeps null keys, so the
+        # sorted path must too or the two strategies silently diverge
+        for key, g in body.groupby(sk_cols, sort=False, dropna=False):
             key = key if isinstance(key, tuple) else (key,)
             out = finish(key, produce(key, g))
             if out is not None:
@@ -188,9 +207,13 @@ def run_produce(stage: Stage, upserts: DataFrame,
                 pdf = pd.concat([carry, pdf], ignore_index=True)
             if len(pdf) == 0:
                 continue
-            # the tail key may continue in the next Arrow batch — carry it
+            # the tail key may continue in the next Arrow batch — carry
+            # it (null-safe compare: NaN keys are one group here too)
             last = pdf[sk_cols].iloc[-1]
-            tail = (pdf[sk_cols] == last.values).all(axis=1).to_numpy()
+            tail = pd.concat(
+                [(pdf[c] == last[c]) | (pdf[c].isna() & pd.isna(last[c]))
+                 for c in sk_cols], axis=1,
+            ).all(axis=1).to_numpy()
             carry = pdf[tail]
             body = pdf[~tail]
             if len(body):
@@ -243,7 +266,7 @@ def update_stage(
 
     produced_final = (
         _apply_preserve(stage, produced, prev_content)
-        if stage.preserve_col else produced
+        if stage.has_preserve else produced
     )
     content = retained.unionByName(produced_final.select(*stage.content_cols))
 
@@ -300,7 +323,7 @@ def bootstrap_stage(
     sk, tk = stage.sk_cols, stage.tk_cols
     upserts = updates.filter(F.col(UPDATE_TYPE) != "Delete")
     produced = run_produce(stage, upserts)
-    if stage.preserve_col:
+    if stage.has_preserve:
         prev_content, _ = empty_state(spark, stage, updates)
         produced = _apply_preserve(stage, produced, prev_content)
     content = produced.select(*stage.content_cols)
@@ -318,44 +341,126 @@ def bootstrap_stage(
     return content, mappings, updates_out
 
 
-def _apply_preserve(
-    stage: Stage, produced: DataFrame, prev_content: DataFrame
-) -> DataFrame:
-    """Surrogate-key preservation (reference op 20:
-    ParquetProducerOptions.cs:16-28, README.md:218-232).
+def _global_rank(df: DataFrame, key_cols: list[str],
+                 out_col: str) -> DataFrame:
+    """1-based rank of each DISTINCT-keyed row by global key order,
+    computed WITHOUT a single-partition window: range-partition on the
+    keys (global order across partitions), count rows per partition,
+    prefix-sum the counts on the driver (one tiny collect — #partitions
+    rows, not data rows), then ``offset + row_number within partition``.
+    Equivalent to ``dense_rank().over(Window.orderBy(keys))`` on
+    distinct keys, but every exchange is many-partition — safe when the
+    input is the whole dataset (bootstrap), not just a wave delta."""
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parted = (
+        df.repartitionByRange(n, *key_cols)
+        .sortWithinPartitions(*key_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        # persist pins the partition boundaries: the counts job and the
+        # rank job must see the identical partitioning
+        .persist()
+    )
+    counts = {
+        r["__pid"]: r["n"]
+        for r in parted.groupBy("__pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    if not offsets:
+        return df.select(*key_cols, F.lit(None).cast("int").alias(out_col))
+    off_df = spark.createDataFrame(offsets, "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy(*key_cols)
+    return (
+        parted.join(F.broadcast(off_df), "__pid")
+        .withColumn(out_col, (F.col("__off") + F.row_number().over(w))
+                    .cast("int"))
+        .drop("__pid", "__off")
+    )
 
-    New rows of an existing TK inherit that TK's example id (min-SK row
-    — deterministic, unlike the reference's 'any example').  Brand-new
-    TKs get ``max(prev ids) + dense_rank(tk)`` — deterministic and
-    parallel, replacing the reference tests' mutable ``nextId++``
-    (ParquetProductionTests.cs:573; SURVEY.md §7.3).
-    """
-    tk, col = stage.tk_cols, stage.preserve_col
+
+def _tk_examples(stage: Stage, prev_content: DataFrame,
+                 cols: list[str]) -> DataFrame:
+    """Per-TK example previous row (min-SK — deterministic, unlike the
+    reference's 'any example'): (tk…, __prev_<col>…)."""
+    tk = stage.tk_cols
     example_w = Window.partitionBy(*tk).orderBy(*stage.sk_cols)
-    examples = (
+    return (
         prev_content
         .withColumn("__rn", F.row_number().over(example_w))
         .filter(F.col("__rn") == 1)
-        .select(*tk, F.col(col).alias("__example"))
+        .select(*tk, *[F.col(c).alias(f"__prev_{c}") for c in cols])
     )
-    # brand-new TKs: dense_rank over the (small) per-wave novel-key delta.
-    # Single-partition window is fine — the delta is the wave's new TKs,
-    # not the dataset; at extreme scale zipWithIndex-style salting applies.
-    new_tks = (
-        produced.select(*tk).distinct()
-        .join(examples.select(*tk), tk, "left_anti")
-        .withColumn("__new_id", F.dense_rank().over(Window.orderBy(*tk)))
-    )
-    max_prev = prev_content.agg(
-        F.coalesce(F.max(col), F.lit(0)).alias("__max_prev")
-    )
-    return (
-        produced.join(examples, tk, "left")
-        .join(new_tks, tk, "left")
-        .join(F.broadcast(max_prev))
-        .withColumn(
-            col,
-            F.coalesce(F.col("__example"), F.col("__max_prev") + F.col("__new_id")),
+
+
+def _apply_preserve(
+    stage: Stage, produced: DataFrame, prev_content: DataFrame
+) -> DataFrame:
+    """PreserveKeyValues (reference op 20:
+    ParquetProducerOptions.cs:16-28, README.md:218-232): produced rows
+    of a TK that already existed may keep values from that TK's
+    previous row. Three forms (see Stage):
+
+    * ``preserve_col`` — surrogate-id: existing TKs inherit their id;
+      brand-new TKs get ``max(prev ids) + rank(tk among new tks)`` —
+      deterministic and parallel, replacing the reference tests'
+      mutable ``nextId++`` (ParquetProductionTests.cs:573). The novel-
+      key rank is distributed (:func:`_global_rank`), so bootstrapping
+      the full dataset never funnels through one partition.
+    * ``preserve_cols`` — inherit listed value columns verbatim.
+    * ``preserve_merge`` — arbitrary pandas merge of produced row +
+      previous example values.
+    """
+    tk = stage.tk_cols
+    out = produced
+
+    if stage.preserve_col:
+        col = stage.preserve_col
+        examples = _tk_examples(stage, prev_content, [col]).withColumnRenamed(
+            f"__prev_{col}", "__example")
+        new_tks = _global_rank(
+            out.select(*tk).distinct()
+            .join(examples.select(*tk), tk, "left_anti"),
+            tk, "__new_id",
         )
-        .drop("__example", "__new_id", "__max_prev")
-    )
+        max_prev = prev_content.agg(
+            F.coalesce(F.max(col), F.lit(0)).alias("__max_prev")
+        )
+        out = (
+            out.join(examples, tk, "left")
+            .join(new_tks, tk, "left")
+            .join(F.broadcast(max_prev))
+            .withColumn(
+                col,
+                F.coalesce(F.col("__example"),
+                           F.col("__max_prev") + F.col("__new_id")),
+            )
+            .drop("__example", "__new_id", "__max_prev")
+        )
+
+    if stage.preserve_cols:
+        examples = _tk_examples(stage, prev_content, stage.preserve_cols)
+        out = out.join(examples, tk, "left")
+        for c in stage.preserve_cols:
+            out = out.withColumn(
+                c, F.coalesce(F.col(f"__prev_{c}"), F.col(c)))
+        out = out.drop(*[f"__prev_{c}" for c in stage.preserve_cols])
+
+    if stage.preserve_merge is not None:
+        value_cols = stage.value_cols
+        merge = stage.preserve_merge
+        examples = _tk_examples(stage, prev_content, value_cols)
+        joined = out.join(examples, tk, "left")
+        schema = joined.drop(
+            *[f"__prev_{c}" for c in value_cols]).schema
+
+        def run(batches):
+            for pdf in batches:
+                res = merge(pdf)
+                yield res[[f.name for f in schema.fields]]
+
+        out = joined.mapInPandas(run, schema=schema)
+
+    return out.select(*produced.columns)
