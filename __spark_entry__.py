@@ -407,12 +407,14 @@ def q_embedding_knn(spark, sf):
 
 
 def q_embedding_ann_lsh(spark, sf):
-    """Rows-only: LSH-bucketed approximate neighbors (scale path)."""
+    """Rows-only: LSH-bucketed approximate neighbors (scale path) —
+    4 tables × 4 bits, Hamming-1 multi-probe: measured recall ≥0.95 vs
+    cosine_topk (tests/test_scale_shapes.py::test_ann_multiprobe_recall)."""
     from parquet_producers_spark.functions.similarity import lsh_ann_topk
 
     e = _t(spark, sf, "embeddings")
     probes = e.filter(F.col("vec_id") < 10)
-    return lsh_ann_topk(e, probes, k=5, bits=4)
+    return lsh_ann_topk(e, probes, k=5, bits=4, n_tables=4)
 
 
 def q_multimodal_features(spark, sf):

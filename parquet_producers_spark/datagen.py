@@ -76,7 +76,13 @@ def _u01(x: np.ndarray, salt: int) -> np.ndarray:
 
 def _line_bank(lang: str, seed: int, size: int = 256) -> np.ndarray:
     """Deterministic bank of code-like lines for one language."""
-    rng = np.random.default_rng(seed + hash(lang) % 65536)
+    import zlib
+
+    # crc32, NOT builtin hash(): the builtin is randomized per process
+    # via PYTHONHASHSEED, which would make driver-side generation
+    # non-reproducible (Spark workers only agree because PySpark pins
+    # PYTHONHASHSEED=0)
+    rng = np.random.default_rng(seed + zlib.crc32(lang.encode()) % 65536)
     tmpl = _LINE_TEMPLATES[lang]
     lines = []
     for i in range(size):

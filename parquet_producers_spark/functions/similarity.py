@@ -85,39 +85,50 @@ def lsh_bucket(vec, planes: list[list[float]]):
 def lsh_ann_topk(
     corpus: DataFrame, probes: DataFrame, k: int = 5, bits: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,
-    multi_probe: bool = True,
+    multi_probe: bool = True, n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the probe's bucket.
+    """Approximate top-k: candidates restricted to the probe's bucket(s).
 
-    ``multi_probe`` additionally probes every Hamming-1 neighbor bucket
-    (each single-plane sign flip) — the standard recall fix for vectors
-    near a hyperplane, raising candidates per probe from n/2^B to
-    (B+1)·n/2^B while staying an equi-join (the probe side explodes its
-    B+1 bucket keys; the corpus side is untouched, so at 100 TB the
-    corpus stays bucketed once and only the tiny probe frame fans out).
-    Candidate pairs reached via several buckets are deduped before
-    scoring.
+    Two standard recall knobs, both keeping the join an equi-join:
+
+    * ``multi_probe`` — each probe additionally checks every Hamming-1
+      neighbor bucket (single-plane sign flips), the fix for vectors
+      near a hyperplane. Only the tiny probe frame fans out ×(B+1); the
+      corpus side is untouched.
+    * ``n_tables`` — LSH amplification: L independent hyperplane sets;
+      a pair is a candidate if it collides in ANY table. The corpus
+      carries L bucket entries (at 100 TB: L materialized bucketed
+      indexes, the classical storage/recall trade), probes join on
+      (table, bucket). Miss probability decays as miss_one^L.
+
+    Candidates reached via several buckets/tables are deduped before
+    the exact cosine scoring.
     """
     from pyspark.sql import Window
 
-    planes = hyperplanes(dim, bits)
+    c_entries, p_entries = [], []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, bits, seed=7 + 131 * t)
+        own = lsh_bucket(F.col(vec_col), planes)
+        c_entries.append(F.struct(F.lit(t).alias("tbl"), own.alias("bucket")))
+        p_buckets = [own] + (
+            [own.bitwiseXOR(F.lit(1 << i)) for i in range(bits)]
+            if multi_probe else []
+        )
+        p_entries += [
+            F.struct(F.lit(t).alias("tbl"), pb.alias("bucket"))
+            for pb in p_buckets
+        ]
     c = corpus.select(
         F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nbr_vec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
-    own = lsh_bucket(F.col(vec_col), planes)
-    if multi_probe:
-        probe_buckets = F.explode(F.array(
-            own, *[own.bitwiseXOR(F.lit(1 << i)) for i in range(bits)]
-        ))
-    else:
-        probe_buckets = own
+        F.explode(F.array(*c_entries)).alias("e"),
+    ).select("nbr_id", "nbr_vec", "e.tbl", "e.bucket")
     p = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec"),
-        probe_buckets.alias("bucket"),
-    )
+        F.explode(F.array(*p_entries)).alias("e"),
+    ).select("probe_id", "probe_vec", "e.tbl", "e.bucket")
     joined = (
-        p.join(c, "bucket")
+        p.join(c, ["tbl", "bucket"])
         .filter(F.col("probe_id") != F.col("nbr_id"))
         .dropDuplicates(["probe_id", "nbr_id"])
     )

@@ -76,17 +76,35 @@ def range_join_binned(
     """Inner join on ``right_lo <= left_val < right_hi`` via bin
     equi-join + exact filter. Right intervals are exploded into the
     bins they overlap (sequence), so the join key is a plain long —
-    broadcastable when right is small, shuffle-hash otherwise."""
+    broadcastable when right is small, shuffle-hash otherwise.
+
+    The explode is clamped to the bins the LEFT side actually occupies
+    (one tiny min/max aggregate broadcast onto the right): an open-ended
+    interval like [200k, 1e12) would otherwise materialize a
+    (hi-lo)/bin_width-element array — ~20M longs for that band — in a
+    single row. Bins outside the left's range can't match anything, so
+    clamping changes no results."""
     lb = left.withColumn(
         "__bin", F.floor(F.col(left_val) / F.lit(bin_width)).cast("long"))
-    rb = right.withColumn(
-        "__bins",
-        F.sequence(
-            F.floor(F.col(right_lo) / F.lit(bin_width)).cast("long"),
-            F.floor((F.col(right_hi) - F.lit(1e-9)) / F.lit(bin_width)
-                    ).cast("long"),
-        ),
-    ).withColumn("__bin", F.explode("__bins")).drop("__bins")
+    lrange = lb.agg(F.min("__bin").alias("__lmin"),
+                    F.max("__bin").alias("__lmax"))
+    start = F.greatest(
+        F.floor(F.col(right_lo) / F.lit(bin_width)).cast("long"),
+        F.col("__lmin"))
+    stop = F.least(
+        F.floor((F.col(right_hi) - F.lit(1e-9)) / F.lit(bin_width)
+                ).cast("long"),
+        F.col("__lmax"))
+    rb = (
+        right.join(F.broadcast(lrange))
+        .withColumn(
+            "__bins",
+            F.when(start <= stop, F.sequence(start, stop))
+            .otherwise(F.array().cast("array<long>")),
+        )
+        .withColumn("__bin", F.explode("__bins"))
+        .drop("__bins", "__lmin", "__lmax")
+    )
     return (
         lb.join(rb, "__bin")
         .filter((F.col(left_val) >= F.col(right_lo))

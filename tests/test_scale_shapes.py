@@ -1,0 +1,186 @@
+"""Scale-shape regression tests for the LLM-pipeline operators: the
+banded simhash pair-finder must not plan a cartesian product, the
+jaccard df-cap must bound candidate fan-out on a skewed corpus, the
+multi-probe ANN must reach ≥0.9 recall vs the exact kNN, and the
+preserve-id bootstrap must not route the dataset through a
+single-partition exchange."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_producers_spark.functions.dedup import (
+    jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from parquet_producers_spark.functions.similarity import (
+    cosine_topk,
+    lsh_ann_topk,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_simhash_pairs_no_cartesian(spark, docs):
+    sig = simhash(docs.limit(100), bits=16)
+    pairs = simhash_near_pairs(sig, max_hamming=3, bits=16)
+    plan = _plan(pairs)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_simhash_pairs_match_bruteforce(spark, docs):
+    """The pigeonhole banding is lossless: result == brute-force join."""
+    sig = simhash(docs.filter(F.col("doc_id") < 120), bits=16)
+    banded = {tuple(r) for r in
+              simhash_near_pairs(sig, max_hamming=3, bits=16).collect()}
+    a, b = sig.alias("a"), sig.alias("b")
+    brute = {
+        tuple(r) for r in
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                            ).alias("hamming"))
+        .filter(F.col("hamming") <= 3).collect()
+    }
+    assert banded == brute and len(brute) > 0
+
+
+def test_jaccard_df_cap_bounds_candidates(spark):
+    """Skewed corpus: every doc shares one stop-shingle. Uncapped, the
+    candidate set is all n² pairs; with max_df the hot shingle is pruned
+    and only genuinely-similar docs pair up."""
+    n = 60
+    rows = [(i, f"the common words tok{i} tok{i} tok{i} tail{i % 3}")
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = jaccard_pairs(df, threshold=0.01).count()
+    capped = jaccard_pairs(df, threshold=0.01, max_df=10).count()
+    assert uncapped == n * (n - 1) / 2      # stop-shingle joins everything
+    assert capped == 0                       # nothing shares rare shingles
+    # near-dup docs still pair up under the cap
+    rows2 = rows + [(1000, rows[0][1])]      # exact dup of doc 0
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    dup_pairs = jaccard_pairs(df2, threshold=0.9, max_df=10).collect()
+    assert [(r.doc_a, r.doc_b) for r in dup_pairs] == [(0, 1000)]
+
+
+def test_ann_multiprobe_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, probes, k=5)
+    want = {(r.probe_id, r.nbr_id) for r in exact.collect()}
+    got = {(r.probe_id, r.nbr_id)
+           for r in lsh_ann_topk(emb, probes, k=5, bits=4,
+                                 n_tables=4).collect()}
+    recall = len(want & got) / len(want)
+    single = {(r.probe_id, r.nbr_id)
+              for r in lsh_ann_topk(emb, probes, k=5, bits=4,
+                                    multi_probe=False).collect()}
+    recall_single = len(want & single) / len(want)
+    assert recall >= 0.9, (recall, recall_single)
+    assert recall >= recall_single
+
+
+def test_preserve_bootstrap_no_single_partition_exchange(spark):
+    """Bootstrapping a preserve_col stage routes every TK through the id
+    assigner; the content plan must not contain a SinglePartition
+    exchange (the old dense_rank-over-global-window scale-killer)."""
+    from parquet_producers_spark.operators.produce import (
+        Stage,
+        bootstrap_stage,
+    )
+
+    def gen(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"word": pdf["w"], "wid": [0] * len(pdf)})
+
+    stage = Stage(
+        name="p", sk_cols=["sk"], tk_cols=["word"], value_cols=["wid"],
+        produce=gen, out_ddl="word string, wid int", preserve_col="wid",
+    )
+    upd = spark.createDataFrame(
+        [("Add", i, f"w{i % 37}") for i in range(300)],
+        "type string, sk int, w string")
+    content, _m, _u = bootstrap_stage(spark, stage, upd)
+    # single-partition exchanges are only allowed under a scalar
+    # aggregate (max prev id — one row per partition, then one row);
+    # the data path (window/sort over TKs) must never collapse to one
+    plan_lines = _plan(content).splitlines()
+    for i, line in enumerate(plan_lines):
+        if "Exchange SinglePartition" in line:
+            assert "HashAggregate" in plan_lines[i - 1], \
+                "\n".join(plan_lines[max(0, i - 3):i + 1])
+    # ids are the rank of the word in global key order, 1-based
+    ids = {r.word: r.wid for r in content.select("word", "wid")
+           .distinct().collect()}
+    ordered = sorted(ids)
+    assert [ids[w] for w in ordered] == list(range(1, len(ordered) + 1))
+
+
+def test_preserve_cols_and_merge_hooks(spark):
+    """General PreserveKeyValues: multi-column inheritance and the
+    arbitrary pandas merge hook (reference ParquetProducerOptions.cs
+    passes the whole previous value to user code)."""
+    from parquet_producers_spark.operators.produce import (
+        Stage,
+        bootstrap_stage,
+        update_stage,
+    )
+
+    def gen(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "word": pdf["w"], "label": ["fresh"] * len(pdf),
+            "n_seen": [1] * len(pdf),
+        })
+
+    # inheritance: existing TKs keep their previous label verbatim
+    stage = Stage(
+        name="inh", sk_cols=["sk"], tk_cols=["word"],
+        value_cols=["label", "n_seen"], produce=gen,
+        out_ddl="word string, label string, n_seen int",
+        preserve_cols=["label"],
+    )
+    boot = spark.createDataFrame(
+        [("Add", 1, "dog"), ("Add", 2, "cat")], "type string, sk int, w string")
+    c0, m0, _ = bootstrap_stage(spark, stage, boot)
+    c0 = spark.createDataFrame(c0.toPandas(), schema=c0.schema)
+    m0 = spark.createDataFrame(m0.toPandas(), schema=m0.schema)
+    wave = spark.createDataFrame(
+        [("Update", 1, "dog"), ("Update", 1, "bird")],
+        "type string, sk int, w string")
+    c1, _, _ = update_stage(stage, c0, m0, wave)
+    got = {r.word: r.label for r in c1.collect()}
+    assert got == {"dog": "fresh", "cat": "fresh", "bird": "fresh"}
+
+    # merge hook: arbitrary logic over (produced row, previous value)
+    def bump(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.copy()
+        prev = pdf["__prev_n_seen"]
+        pdf["n_seen"] = (prev.fillna(0) + 1).astype("int32")
+        pdf["label"] = pdf["__prev_label"].fillna(pdf["label"])
+        return pdf
+
+    stage2 = Stage(
+        name="mrg", sk_cols=["sk"], tk_cols=["word"],
+        value_cols=["label", "n_seen"], produce=gen,
+        out_ddl="word string, label string, n_seen int",
+        preserve_merge=bump,
+    )
+    c0, m0, _ = bootstrap_stage(spark, stage2, boot)
+    c0 = spark.createDataFrame(c0.toPandas(), schema=c0.schema)
+    m0 = spark.createDataFrame(m0.toPandas(), schema=m0.schema)
+    c1, _, _ = update_stage(stage2, c0, m0, wave)
+    got = {r.word: (r.label, r.n_seen) for r in c1.collect()}
+    assert got == {"dog": ("fresh", 2), "cat": ("fresh", 1),
+                   "bird": ("fresh", 1)}
