@@ -254,6 +254,19 @@ def q_event_type_stats(spark, sf):
     )
 
 
+SESSION_GAP_S = 28800  # 8h — events median inter-arrival is ~7h
+
+
+def q_sessionize(spark, sf):
+    """Gap-based sessionization (gaps-and-islands): lag → flag →
+    running-sum session ordinal → per-session aggregate. One shuffle on
+    the user key, all JVM window/agg codegen."""
+    from parquet_producers_spark.operators.sessionize import sessionize
+
+    e = _t(spark, sf, "events")
+    return sessionize(e, gap_s=SESSION_GAP_S)
+
+
 def q_asof_purchase(spark, sf):
     """As-of join (custom operator — Spark has no native ASOF): for each
     click, the user's latest purchase value at or before the click."""
@@ -550,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeat_buyers_intersect": q_repeat_buyers_intersect,
         "user_running_value": q_user_running_value,
         "event_type_stats": q_event_type_stats,
+        "sessionize": q_sessionize,
         "asof_purchase": q_asof_purchase,
         "price_band_range_join": q_price_band_range_join,
         "producer_wordcount": q_producer_wordcount,
@@ -737,6 +751,10 @@ SELECT event_type, COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value,
        COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type
 """
+
+    from parquet_producers_spark.operators.sessionize import sessionize_sql
+
+    sql["sessionize"] = sessionize_sql(gap_s=SESSION_GAP_S)
 
     sql["asof_purchase"] = """
 SELECT l.event_id, l.user_id, ROUND(r.value, 4) AS last_purchase_value

@@ -36,7 +36,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # executors without oversubscribing the single box at the high end.
 HIGH_CPUS = max(CPUS // 2, 2)
 LOW_CPUS = max(HIGH_CPUS // 4, 1)
-ENCODE_REPS = 2  # best-of to damp single-box noise
+ENCODE_REPS = 3  # median-of-N: reproducible within ±10% run-to-run
 
 HEADLINE = [
     "pricing_summary",
@@ -80,13 +80,21 @@ def run_headline(spark) -> dict[str, float]:
 ENCODE_PARTITIONS = 64  # sorted-input files = narrow work units
 
 
-def encode_bench(cores: int, src_path: str, work: str,
-                 cascade: bool, profile: str, tag: str) -> dict:
-    """One measured sorted-encode run of the source-code table.
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
-    Python workers are warmed by an untimed mini-job first so the
-    measurement is the encode, not interpreter startup — on a real
-    cluster executors are long-lived.
+
+def encode_level(cores: int, src_path: str, work: str,
+                 modes: list[tuple[str, bool, str]],
+                 reps: int = ENCODE_REPS) -> dict[str, dict]:
+    """All encode modes × reps at one parallelism level inside ONE
+    SparkSession (long-lived executors, like a real cluster): the
+    measured job is scan → mapInArrow → chunk write, with python
+    workers warmed by an untimed mini-job first. Reports the MEDIAN
+    elapsed across reps plus the rep spread, so a single outlier run
+    can't move the recorded numbers.
     """
     from parquet_producers_spark.session import get_spark
     from parquet_producers_spark.encoder import encode_partitions
@@ -94,46 +102,53 @@ def encode_bench(cores: int, src_path: str, work: str,
     from pyspark.sql import functions as F
 
     spark = get_spark(
-        f"bench-encode-{tag}-{cores}", cores=cores, shuffle_partitions=cores,
+        f"bench-encode-{cores}", cores=cores, shuffle_partitions=cores,
         extra_conf={"spark.sql.files.maxPartitionBytes": str(4 << 20)},
     )
+    out: dict[str, dict] = {}
     try:
         df = spark.read.parquet(src_path)
-        # warm-up: spin up python workers + import kernels (untimed)
-        encode_partitions(
-            df.limit(cores * 64), partitions=cores, cascade=cascade,
-            profile=profile,
-        ).count()
-        # measured job: narrow scan → mapInArrow encode → write. The
-        # input is pre-sorted (prep is the one-time shuffle a real
-        # deployment amortizes); the metric is the codec engine.
-        t0 = time.monotonic()
-        chunks = encode_partitions(
-            df, key_col="repo", cascade=cascade, profile=profile,
-        )
-        out_dir = os.path.join(work, f"enc_{tag}_{cores}")
-        chunks.write.mode("overwrite").option("compression", "none"
-                                              ).parquet(out_dir)
-        elapsed = time.monotonic() - t0
-        agg = (
-            spark.read.parquet(out_dir)
-            .groupBy((F.col("column") == "content").alias("is_content"))
-            .agg(F.sum("raw_bytes").alias("raw"), F.sum("enc_bytes").alias("enc"))
-            .collect()
-        )
-        raw_content = sum(r.raw for r in agg if r.is_content)
-        raw_all = sum(r.raw for r in agg)
-        enc_all = sum(r.enc for r in agg)
-        return {
-            "cores": cores,
-            "elapsed_s": round(elapsed, 3),
-            "content_bytes": int(raw_content),
-            "raw_bytes": int(raw_all),
-            "enc_bytes": int(enc_all),
-            "content_gbps": round(raw_content / elapsed / 1e9, 4),
-        }
+        for tag, cascade, profile in modes:
+            # warm-up: spin up python workers + import kernels (untimed)
+            encode_partitions(
+                df.limit(cores * 64), partitions=cores, cascade=cascade,
+                profile=profile,
+            ).count()
+            elapsed_runs = []
+            raw_content = raw_all = enc_all = 0
+            for r in range(reps):
+                t0 = time.monotonic()
+                chunks = encode_partitions(
+                    df, key_col="repo", cascade=cascade, profile=profile,
+                )
+                out_dir = os.path.join(work, f"enc_{tag}_{cores}_{r}")
+                chunks.write.mode("overwrite").option(
+                    "compression", "none").parquet(out_dir)
+                elapsed_runs.append(time.monotonic() - t0)
+                agg = (
+                    spark.read.parquet(out_dir)
+                    .groupBy((F.col("column") == "content").alias("is_content"))
+                    .agg(F.sum("raw_bytes").alias("raw"),
+                         F.sum("enc_bytes").alias("enc"))
+                    .collect()
+                )
+                raw_content = sum(x.raw for x in agg if x.is_content)
+                raw_all = sum(x.raw for x in agg)
+                enc_all = sum(x.enc for x in agg)
+                shutil.rmtree(out_dir, ignore_errors=True)
+            med = _median(elapsed_runs)
+            out[tag] = {
+                "cores": cores,
+                "elapsed_s": round(med, 3),
+                "elapsed_runs_s": [round(e, 3) for e in elapsed_runs],
+                "content_bytes": int(raw_content),
+                "raw_bytes": int(raw_all),
+                "enc_bytes": int(enc_all),
+                "content_gbps": round(raw_content / med / 1e9, 4),
+            }
     finally:
         spark.stop()
+    return out
 
 
 def _kernel_chunk():
@@ -201,23 +216,22 @@ def kernel_scaling_probe(src_path: str, cores_levels=(LOW_CPUS, HIGH_CPUS),
             df = spark.read.parquet(src_path).select("content")
             df.limit(cores * 64).mapInArrow(
                 enc, "enc long, raw long").count()  # warm workers
-            best = None
+            runs, raw = [], 0
             for _ in range(reps):
                 t0 = time.monotonic()
                 agg = df.mapInArrow(enc, "enc long, raw long")                     .groupBy().sum("raw").collect()
-                dt = time.monotonic() - t0
+                runs.append(time.monotonic() - t0)
                 raw = int(agg[0][0])
-                if best is None or dt < best[0]:
-                    best = (dt, raw)
-            return best
+            return _median(runs), raw, runs
         finally:
             spark.stop()
 
     out = {}
     for cores in cores_levels:
-        dt, raw = run(cores)
+        dt, raw, runs = run(cores)
         out[f"local[{cores}]"] = {
             "elapsed_s": round(dt, 3),
+            "elapsed_runs_s": [round(e, 3) for e in runs],
             "content_gbps": round(raw / dt / 1e9, 4),
         }
     lo = out[f"local[{cores_levels[0]}]"]["content_gbps"]
@@ -293,22 +307,17 @@ def main() -> None:
 
         # ---- phase B: two parallelism levels on identical input, in the
         # two selection profiles (pure-lightweight incl. FSST; balanced
-        # with entropy cascade — the deployment default) ----
-        modes = {}
-        for tag, cascade, profile in [
+        # with entropy cascade — the deployment default). One session
+        # per level runs every mode × ENCODE_REPS; medians recorded ----
+        mode_specs = [
             ("lightweight", False, "size"),
             ("cascade", True, "balanced"),
-        ]:
-            def best(cores):
-                runs = [
-                    encode_bench(cores, src_path, work, cascade, profile,
-                                 f"{tag}{r}")
-                    for r in range(ENCODE_REPS)
-                ]
-                return min(runs, key=lambda e: e["elapsed_s"])
-
-            low = best(LOW_CPUS)
-            high = best(HIGH_CPUS)
+        ]
+        low_all = encode_level(LOW_CPUS, src_path, work, mode_specs)
+        high_all = encode_level(HIGH_CPUS, src_path, work, mode_specs)
+        modes = {}
+        for tag, _c, _p in mode_specs:
+            low, high = low_all[tag], high_all[tag]
             eff = min(
                 (high["content_gbps"] / low["content_gbps"])
                 / (HIGH_CPUS / LOW_CPUS), 1.0,
@@ -362,7 +371,10 @@ def _write_bench_md(result: dict) -> None:
         "",
         f"sf={result['sf']}, north-rule source-code table "
         f"n_files={enc['n_files']}, python workers warmed before timing,"
-        f" {ENCODE_PARTITIONS} identical work units at every level.",
+        f" {ENCODE_PARTITIONS} identical work units at every level;"
+        f" every encode number is the MEDIAN of {ENCODE_REPS} measured"
+        " runs inside one long-lived session per parallelism level"
+        " (per-run times shown for spread).",
         "",
     ]
     for tag, mode in enc["modes"].items():
@@ -374,12 +386,14 @@ def _write_bench_md(result: dict) -> None:
                  " cascade)")
         lines += [
             f"## Encode — {title}", "",
-            "| parallelism | content GB/s | elapsed s |",
-            "|---|---|---|",
+            "| parallelism | content GB/s | median s | all runs s |",
+            "|---|---|---|---|",
         ]
         for lvl in levels:
             e = mode[lvl]
-            lines.append(f"| {lvl} | {e['content_gbps']} | {e['elapsed_s']} |")
+            runs = ", ".join(str(x) for x in e.get("elapsed_runs_s", []))
+            lines.append(f"| {lvl} | {e['content_gbps']} |"
+                         f" {e['elapsed_s']} | {runs} |")
         lines += [
             "",
             f"- scaling efficiency {levels[0]}→{levels[-1]}:"
@@ -396,12 +410,15 @@ def _write_bench_md(result: dict) -> None:
         lines += [
             "## Kernel-scaling probe (fsst-forced content encode —"
             " CPU-bound path)", "",
-            "| parallelism | content GB/s | elapsed s |", "|---|---|---|",
+            "| parallelism | content GB/s | median s | all runs s |",
+            "|---|---|---|---|",
         ]
         for lvl in levels:
             e = probe[lvl]
+            runs = ", ".join(str(x) for x in e.get("elapsed_runs_s", []))
             lines.append(
-                f"| {lvl} | {e['content_gbps']} | {e['elapsed_s']} |")
+                f"| {lvl} | {e['content_gbps']} | {e['elapsed_s']} |"
+                f" {runs} |")
         lines += [
             "",
             f"- probe scaling efficiency {levels[0]}→{levels[-1]}:"

@@ -110,20 +110,42 @@ def encode_partitions(
     cascade: bool = False,
     profile: str = "size",
     key_col: str | None = None,
+    slice_col: str | None = None,
 ) -> DataFrame:
     """Sorted-encode ``df`` into the chunk table (one row per chunk×column).
 
     Pass ``sort_cols`` to shuffle-sort here, or pre-sort the input and
     pass only ``key_col`` (zone-map column) — the narrow path a real
     deployment uses when data is already clustered.
+
+    ``slice_col`` names a small-int layout column (e.g. a checkpoint
+    slice id): data is range-partitioned by (slice, sort keys), chunks
+    never straddle slice values, the column is NOT encoded into blobs,
+    and every output row carries ``slice_id`` — so ONE scan of the
+    input can feed a ``partitionBy(slice_id)`` checkpointed write
+    instead of one filtered scan per slice.
     """
-    if sort_cols:
+    if slice_col:
+        n = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        order = [slice_col] + (sort_cols or [])
+        df = df.repartitionByRange(int(n), *order).sortWithinPartitions(*order)
+    elif sort_cols:
         n = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
         df = df.repartitionByRange(int(n), *sort_cols).sortWithinPartitions(*sort_cols)
     elif partitions:
         df = df.repartition(partitions)
 
     key_col = key_col or (sort_cols[0] if sort_cols else None)
+    out_schema = CHUNK_SPARK_SCHEMA + (", slice_id int" if slice_col else "")
+
+    def _with_slice(rb: pa.RecordBatch, slice_val) -> pa.RecordBatch:
+        if slice_col is None:
+            return rb
+        n = rb.num_rows
+        return pa.record_batch(
+            rb.columns + [pa.array([int(slice_val)] * n, pa.int32())],
+            names=rb.schema.names + ["slice_id"],
+        )
 
     def enc(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
@@ -132,19 +154,47 @@ def encode_partitions(
         pending: list[pa.RecordBatch] = []
         rows = 0
         seq = 0
-        for b in batches:
-            pending.append(b)
-            rows += b.num_rows
-            if rows >= chunk_rows:
-                yield _encode_chunk(pa.Table.from_batches(pending), pid, seq,
-                                    cascade, key_col, profile)
-                pending, rows = [], 0
-                seq += 1
-        if pending:
-            yield _encode_chunk(pa.Table.from_batches(pending), pid, seq,
-                                cascade, key_col, profile)
+        cur_slice = None
 
-    return df.mapInArrow(enc, schema=CHUNK_SPARK_SCHEMA)
+        def flush():
+            nonlocal pending, rows, seq
+            tbl = pa.Table.from_batches(pending)
+            if slice_col is not None:
+                tbl = tbl.drop_columns([slice_col])
+            out = _with_slice(
+                _encode_chunk(tbl, pid, seq, cascade, key_col, profile),
+                cur_slice,
+            )
+            pending, rows = [], 0
+            seq += 1
+            return out
+
+        for b in batches:
+            if slice_col is None:
+                segments = [b]
+            else:
+                # cut at slice boundaries (input is slice-major sorted)
+                import numpy as np
+
+                vals = b.column(slice_col).to_numpy()
+                cuts = (np.nonzero(np.diff(vals))[0] + 1).tolist()
+                bounds = [0] + cuts + [b.num_rows]
+                segments = [b.slice(s, e - s)
+                            for s, e in zip(bounds, bounds[1:]) if e > s]
+            for seg in segments:
+                if slice_col is not None:
+                    sv = seg.column(slice_col)[0].as_py()
+                    if cur_slice is not None and sv != cur_slice and pending:
+                        yield flush()
+                    cur_slice = sv
+                pending.append(seg)
+                rows += seg.num_rows
+                if rows >= chunk_rows:
+                    yield flush()
+        if pending:
+            yield flush()
+
+    return df.mapInArrow(enc, schema=out_schema)
 
 
 def decode_chunks(chunks: DataFrame, ordered: bool = True) -> DataFrame:

@@ -67,6 +67,11 @@ class Stage:
     preserve_cols: list[str] = field(default_factory=list)
     preserve_merge: Optional[Callable[[pd.DataFrame], pd.DataFrame]] = None
     sources: list["Stage"] = field(default_factory=list)
+    # persisted content sort order (reference Comparers.By/Reverse,
+    # Util/Comparers.cs:11-28 — e.g. the wordcount scenario stores
+    # content ordered by count DESCENDING, ParquetProductionTests.cs:317).
+    # Entries are (column, "asc"|"desc"); None → tk+sk ascending.
+    content_sort: Optional[list[tuple[str, str]]] = None
 
     @property
     def content_cols(self) -> list[str]:

@@ -15,12 +15,13 @@ what makes the codec layer's run-based encodings effective downstream.
 
 from __future__ import annotations
 
-import os
+import posixpath
 import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..filestore import FileStore, LocalStore
 from ..operators.multisource import feeder_view, read_sources
 from ..operators.produce import Stage, empty_state, update_stage
 from ..storage import atomic_write_json, list_versions, stage_dir
@@ -33,9 +34,14 @@ class _Node:
 
 
 class Pipeline:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str,
+                 store: FileStore | None = None):
         self.spark = spark
         self.root = root
+        # metadata seam (reference IPersistentStreams.cs:3-17): pass
+        # HadoopStore(spark) for object-store roots; Spark parquet I/O
+        # resolves the same URIs natively
+        self.store = store or LocalStore()
         self.nodes: dict[str, _Node] = {}
 
     def add(self, stage: Stage, sources: list[str] | None = None) -> "Pipeline":
@@ -59,10 +65,10 @@ class Pipeline:
         partial ``v=N+1`` (some tables missing / no _SUCCESS); those are
         ignored, so a re-run of the same wave resumes from the last
         committed version and overwrites the partial output."""
-        vs = list_versions(self.root, name)
+        vs = list_versions(self.root, name, store=self.store)
         for v in reversed(vs):
             if all(
-                os.path.exists(os.path.join(
+                self.store.exists(posixpath.join(
                     stage_dir(self.root, name, v, t), "_SUCCESS"))
                 for t in ("content", "mappings", "updates")
             ):
@@ -70,10 +76,20 @@ class Pipeline:
         return 0
 
     def _write(self, name: str, version: int, table: str, df: DataFrame,
-               sort_cols: list[str] | None = None) -> None:
+               sort_cols: list | None = None) -> None:
+        """``sort_cols`` entries are column names or (name, "asc"|"desc")
+        pairs — per-column direction is the reference's pluggable key
+        comparer (Util/Comparers.cs:11-28) applied to at-rest order."""
+        from pyspark.sql import functions as F
+
         if sort_cols:
+            exprs = [
+                F.col(c[0]).desc() if isinstance(c, tuple) and c[1] == "desc"
+                else F.col(c[0] if isinstance(c, tuple) else c).asc()
+                for c in sort_cols
+            ]
             n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-            df = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(*sort_cols)
+            df = df.repartitionByRange(n, *exprs).sortWithinPartitions(*exprs)
         df.write.mode("overwrite").parquet(stage_dir(self.root, name, version, table))
 
     # -- the DAG update transaction ---------------------------------------
@@ -155,7 +171,8 @@ class Pipeline:
                 stage, prev_content, prev_mappings, updates_in
             )
             self._write(name, new_version, "content", content,
-                        sort_cols=stage.tk_cols + stage.sk_cols)
+                        sort_cols=(stage.content_sort
+                                   or stage.tk_cols + stage.sk_cols))
             self._write(name, new_version, "mappings", mappings,
                         sort_cols=stage.sk_cols + stage.tk_cols)
             self._write(name, new_version, "updates", updates_out,
@@ -163,8 +180,9 @@ class Pipeline:
             timings[name] = round(time.monotonic() - t0, 3)
 
         atomic_write_json(
-            os.path.join(self.root, f"_txn/v={new_version}.json"),
+            posixpath.join(self.root, f"_txn/v={new_version}.json"),
             {"version": new_version, "based_on": based_on,
              "stages": order, "timings_s": timings},
+            store=self.store,
         )
         return new_version

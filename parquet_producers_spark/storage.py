@@ -9,52 +9,60 @@ Parquet.Producers.TestCommand/PersistentStreams.cs:7-8, README.md:182).
 Spark shape: a stage version is a directory
 ``{root}/{stage}/v={N}/{table}/`` holding parquet, plus
 ``{root}/{stage}/v={N}/_manifest/slice={K}.json`` — one JSON manifest
-per completed *slice* (a driver-scheduled group of partitions). Each
-manifest records lineage (input fingerprint, slice spec) and metrics
-(rows, raw/encoded bytes, per-codec counts, elapsed) and is written
-atomically (tmp + rename), so a killed run resumes by skipping exactly
-the slices whose manifests exist — re-running a slice reproduces
-identical bytes because all generation/encoding is deterministic.
+per completed *slice* (a hash-bucket of the keyspace). Each manifest
+records lineage (input fingerprint, slice spec) and metrics (rows,
+raw/encoded bytes, per-codec counts, elapsed) and is written atomically
+(tmp + rename), so a killed run resumes by skipping exactly the slices
+whose manifests exist. A resumed run recomputes the remaining slices
+from the same deterministic input, so the decoded CONTENT of every
+slice is identical to an uninterrupted run (chunk boundaries may
+differ — the format's identity is row values, not blob bytes).
+
+All metadata I/O goes through a :class:`~.filestore.FileStore`
+(reference seam ``IPersistentStreams``): pass
+``HadoopStore(spark)`` to run the same protocol on ``hdfs://`` /
+``s3a://`` / any Hadoop-resolvable URI; the default is local POSIX.
+Bulk data always moves via Spark's own parquet reader/writer, which
+handles those URIs natively.
 """
 
 from __future__ import annotations
 
-import json
-import os
+import posixpath
 import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .filestore import FileStore, LocalStore
+
+_DEFAULT_STORE = LocalStore()
+
 
 def stage_dir(root: str, stage: str, version: int, table: str = "") -> str:
-    p = os.path.join(root, stage, f"v={version}")
-    return os.path.join(p, table) if table else p
+    p = posixpath.join(root, stage, f"v={version}")
+    return posixpath.join(p, table) if table else p
 
 
-def atomic_write_json(path: str, payload: dict) -> None:
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(payload, f, indent=1, sort_keys=True)
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(tmp, path)
+def atomic_write_json(path: str, payload: dict,
+                      store: FileStore | None = None) -> None:
+    (store or _DEFAULT_STORE).write_json_atomic(path, payload)
 
 
 def manifest_path(root: str, stage: str, version: int, slice_id: int) -> str:
-    return os.path.join(
+    return posixpath.join(
         stage_dir(root, stage, version), "_manifest", f"slice={slice_id:05d}.json"
     )
 
 
-def list_versions(root: str, stage: str) -> list[int]:
-    d = os.path.join(root, stage)
-    if not os.path.isdir(d):
-        return []
+def list_versions(root: str, stage: str,
+                  store: FileStore | None = None) -> list[int]:
+    store = store or _DEFAULT_STORE
     return sorted(
-        int(e.split("=")[1]) for e in os.listdir(d) if e.startswith("v=")
+        int(e.split("=")[1])
+        for e in store.listdir(posixpath.join(root, stage))
+        if e.startswith("v=")
     )
 
 
@@ -78,64 +86,96 @@ def encode_run(
     cascade: bool = False,
     profile: str = "size",
     input_fingerprint: str = "",
+    store: FileStore | None = None,
 ) -> list[SliceResult]:
     """Checkpointed encode of ``df`` into the chunk-table format.
 
-    The driver splits the keyspace into ``n_slices`` hash slices on
-    ``slice_col`` (default: first sort col); each slice is one Spark
-    write to ``.../chunks/slice={K}/`` followed by an atomic manifest.
-    Resume = skip slices whose manifest already exists. On a real
-    cluster a slice is thousands of tasks; slice granularity bounds
-    re-work after a failure without driver-side bookkeeping per task.
+    The keyspace is split into ``n_slices`` hash slices on
+    ``slice_col`` (default: first sort col). ALL outstanding slices are
+    encoded in ONE scan of the input: a ``__slice`` column is derived,
+    completed slices are filtered out, and the chunk table is written
+    ``partitionBy(slice_id)`` with dynamic partition overwrite — then
+    one atomic manifest per finished slice commits it. Resume = skip
+    slices whose manifest exists; a 100 TB input is never re-read once
+    per slice. On a real cluster a slice is thousands of tasks; slice
+    granularity bounds re-work after a failure without driver-side
+    bookkeeping per task.
     """
     from .encoder import encode_partitions
 
+    store = store or _DEFAULT_STORE
     slice_col = slice_col or sort_cols[0]
     out_dir = stage_dir(root, stage, version, "chunks")
-    results: list[SliceResult] = []
+
+    done: dict[int, dict] = {}
     for k in range(n_slices):
         mpath = manifest_path(root, stage, version, k)
-        if os.path.exists(mpath):
-            with open(mpath) as f:
-                results.append(SliceResult(k, True, json.load(f)["metrics"]))
-            continue
+        if store.exists(mpath):
+            done[k] = store.read_json(mpath)["metrics"]
+    todo = [k for k in range(n_slices) if k not in done]
+
+    elapsed_s = 0.0
+    per_slice: dict[int, dict] = {}
+    if todo:
         t0 = time.monotonic()
-        part = df.filter(F.pmod(F.hash(F.col(slice_col)), F.lit(n_slices)) == k)
-        chunks = encode_partitions(
-            part, sort_cols=sort_cols,
-            partitions=partitions_per_slice, cascade=cascade, profile=profile,
+        sliced = df.withColumn(
+            "__slice",
+            F.pmod(F.hash(F.col(slice_col)), F.lit(n_slices)).cast("int"),
+        ).filter(F.col("__slice").isin([int(k) for k in todo]))
+        n_parts = (
+            partitions_per_slice * len(todo) if partitions_per_slice else None
         )
-        sdir = os.path.join(out_dir, f"slice={k}")
+        chunks = encode_partitions(
+            sliced, sort_cols=sort_cols, partitions=n_parts,
+            cascade=cascade, profile=profile, slice_col="__slice",
+        )
         (
             chunks.write.mode("overwrite")
             .option("compression", "none")  # our codecs own compression
-            .parquet(sdir)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("slice_id")
+            .parquet(out_dir)
         )
-        written = spark.read.parquet(sdir)
-        tot = written.agg(
-            F.sum(F.when(F.col("col_idx") == 0, F.col("n_rows")).otherwise(F.lit(0))
-                  ).alias("rows"),
-            F.sum("raw_bytes").alias("raw_bytes"),
-            F.sum("enc_bytes").alias("enc_bytes"),
-        ).collect()[0]
-        by_codec = {
-            r.codec: int(r.enc) for r in written.groupBy("codec")
-            .agg(F.sum("enc_bytes").alias("enc")).collect()
+        elapsed_s = time.monotonic() - t0
+
+        written = spark.read.parquet(out_dir).filter(
+            F.col("slice_id").isin([int(k) for k in todo]))
+        tots = {
+            int(r["slice_id"]): r
+            for r in written.groupBy("slice_id").agg(
+                F.sum(F.when(F.col("col_idx") == 0, F.col("n_rows"))
+                      .otherwise(F.lit(0))).alias("rows"),
+                F.sum("raw_bytes").alias("raw_bytes"),
+                F.sum("enc_bytes").alias("enc_bytes"),
+            ).collect()
         }
-        metrics = {
-            "rows": int(tot.rows or 0),
-            "raw_bytes": int(tot.raw_bytes or 0),
-            "enc_bytes": int(tot.enc_bytes or 0),
-            "by_codec": by_codec,
-            "elapsed_s": round(time.monotonic() - t0, 3),
-        }
-        atomic_write_json(mpath, {
-            "stage": stage, "version": version, "slice": k,
-            "slice_of": n_slices, "slice_col": slice_col,
-            "sort_cols": sort_cols, "input": input_fingerprint,
-            "metrics": metrics,
-        })
-        results.append(SliceResult(k, False, metrics))
+        codec_rows = written.groupBy("slice_id", "codec").agg(
+            F.sum("enc_bytes").alias("enc")).collect()
+        by_codec: dict[int, dict] = {}
+        for r in codec_rows:
+            by_codec.setdefault(int(r["slice_id"]), {})[r["codec"]] = int(r["enc"])
+        for k in todo:
+            tot = tots.get(k)
+            per_slice[k] = {
+                "rows": int(tot["rows"] or 0) if tot else 0,
+                "raw_bytes": int(tot["raw_bytes"] or 0) if tot else 0,
+                "enc_bytes": int(tot["enc_bytes"] or 0) if tot else 0,
+                "by_codec": by_codec.get(k, {}),
+                "elapsed_s": round(elapsed_s / len(todo), 3),
+            }
+            atomic_write_json(manifest_path(root, stage, version, k), {
+                "stage": stage, "version": version, "slice": k,
+                "slice_of": n_slices, "slice_col": slice_col,
+                "sort_cols": sort_cols, "input": input_fingerprint,
+                "metrics": per_slice[k],
+            }, store=store)
+
+    results: list[SliceResult] = []
+    for k in range(n_slices):
+        if k in done:
+            results.append(SliceResult(k, True, done[k]))
+        else:
+            results.append(SliceResult(k, False, per_slice[k]))
     return results
 
 

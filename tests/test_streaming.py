@@ -83,3 +83,52 @@ def test_windowed_event_counts(spark, tmp_path, sf_dir):
         .agg(F.count("*").alias("n"))
     )
     assert sum(r.n for r in got) == sum(r.n for r in batch.collect())
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path, sf_dir):
+    """applyInPandasWithState sessionization: closed sessions emitted by
+    the streaming operator must equal the batch gaps-and-islands result
+    for every session the stream could close (all but each user's last,
+    which stays open in state until timeout)."""
+    from parquet_producers_spark.operators.sessionize import (
+        sessionize,
+        sessionize_stream,
+    )
+
+    src = str(tmp_path / "sess_in")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .filter("user_id < 20").select("event_id", "ts", "user_id", "value")
+    # one file → availableNow runs ONE micro-batch (a batch per file
+    # would cycle the state store once per file for no test value)
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    gap = 28800
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, value double"
+    ).parquet(src)
+    sess = sessionize_stream(stream, gap_s=gap)
+    q = (sess.writeStream.format("memory").queryName("sessions")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_id):
+            (r.session_start, r.session_end, r.n_events,
+             round(r.total_value, 4))
+        for r in spark.sql("select * from sessions").collect()
+    }
+
+    batch = sessionize(events, gap_s=gap)
+    want_all = {
+        (r.user_id, r.session_id):
+            (r.session_start, r.session_end, r.n_events,
+             round(r.total_value, 4))
+        for r in batch.collect()
+    }
+    # the stream closes every session except each user's open last one
+    last_sid = {}
+    for (u, sid) in want_all:
+        last_sid[u] = max(last_sid.get(u, 0), sid)
+    want_closed = {k: v for k, v in want_all.items()
+                   if k[1] != last_sid[k[0]]}
+    assert got == want_closed
+    assert len(got) > 10
