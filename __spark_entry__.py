@@ -369,6 +369,11 @@ def q_dedup_minhash_lsh(spark, sf):
 
     d = _t(spark, sf, "documents")
     sig = minhash_signatures(d, "text", k=3, h=8)
+    # materialize signatures once: the banded self-join consumes the
+    # frame on both sides, and recomputing shingle-explode + 8 min-aggs
+    # twice costs more than the checkpoint (at 100 TB signatures are a
+    # stored table; this is the one-shot-query equivalent)
+    sig = sig.localCheckpoint(eager=False)
     return lsh_candidate_pairs(sig, h=8, bands=4)
 
 
@@ -395,6 +400,7 @@ def q_dedup_simhash_pairs(spark, sf):
 
 def q_text_quality(spark, sf):
     from parquet_producers_spark.functions.text import (
+        bpe_token_count,
         fingerprint,
         lang_id,
         quality_score,
@@ -405,10 +411,20 @@ def q_text_quality(spark, sf):
     return d.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
         quality_score(F.col("text"), F.col("n_chars")).alias("quality"),
         lang_id(F.col("text")).alias("guessed_lang"),
         fingerprint(F.col("text")).alias("fp"),
     )
+
+
+def q_text_winnow_fp(spark, sf):
+    """Rolling-hash document fingerprints (MOSS winnowing): any shared
+    run of ≥ k+w-1 tokens between two docs shares a fingerprint."""
+    from parquet_producers_spark.functions.text import winnow_fingerprints
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return winnow_fingerprints(d, "text", k=5, w=4)
 
 
 def q_embedding_knn(spark, sf):
@@ -576,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "text_quality": q_text_quality,
+        "text_winnow_fp": q_text_winnow_fp,
         "embedding_knn": q_embedding_knn,
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "multimodal_features": q_multimodal_features,
@@ -654,8 +671,10 @@ def _words_sql(src: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     from parquet_producers_spark.functions.text import (
+        bpe_token_count_sql,
         lang_id_sql,
         quality_score_sql,
+        winnow_fingerprints_sql,
     )
 
     sql: dict[str, str] = {}
@@ -852,11 +871,15 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     sql["text_quality"] = f"""
 SELECT doc_id,
        len(string_split(text, ' ')) AS n_tokens,
+       {bpe_token_count_sql('text')} AS n_bpe_tokens,
        {quality_score_sql('text', 'n_chars')} AS quality,
        {lang_id_sql('text')} AS guessed_lang,
        substr(md5(text), 1, 16) AS fp
 FROM documents
 """
+
+    sql["text_winnow_fp"] = winnow_fingerprints_sql(
+        k=5, w=4, src="(SELECT doc_id, text FROM documents WHERE doc_id < 200)")
 
     sql["embedding_knn"] = """
 WITH scored AS (

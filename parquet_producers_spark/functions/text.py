@@ -33,6 +33,22 @@ def token_count(text: Column) -> Column:
     return F.size(F.split(text, " "))
 
 
+# BPE-ish pre-tokenizer pattern (simplified GPT-2 shape, kept free of
+# lookaheads so Java regex (Spark) and RE2 (DuckDB) agree): letter runs,
+# digit runs, or a single non-alnum non-space symbol
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Token count under the BPE-ish pre-tokenizer (vs whitespace
+    token_count): the length estimate an LLM-data pipeline budgets by."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), F.lit(0)))
+
+
+def bpe_token_count_sql(text: str) -> str:
+    return f"len(regexp_extract_all({text}, '{BPE_PATTERN}'))"
+
+
 def quality_score(text: Column, n_chars: Column) -> Column:
     """Heuristic quality in [0,1]: length, stopword ratio, alpha ratio."""
     toks = token_count(text).cast("double")
@@ -93,9 +109,62 @@ def lang_id_sql(text: str) -> str:
 
 
 def fingerprint(text: Column) -> Column:
-    """Document fingerprint: 64-bit prefix of md5 (stands in for a
-    rolling hash; portable to the oracle)."""
+    """Whole-document fingerprint: 64-bit prefix of md5 (the exact-dup
+    key; see :func:`winnow_fingerprints` for the rolling-hash partial-
+    overlap fingerprint)."""
     return F.substring(F.md5(text), 1, 16)
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str = "text", k: int = 5, w: int = 4,
+    seed: int = 31,
+) -> DataFrame:
+    """MOSS-style winnowing (rolling-hash document fingerprinting, task
+    mandate): hash every k-token gram, then keep the MINIMUM hash of
+    each w-length window of consecutive gram positions — guaranteeing
+    any shared run of ≥ k+w-1 tokens between two documents shares a
+    fingerprint, at ~1/w the storage of all grams. Returns distinct
+    ``(doc_id, fp)`` rows. All JVM expressions + one window function;
+    the window is partitioned per document, so at 100 TB it
+    parallelizes by doc with no global sort."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    pos_grams = (
+        df.select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+        .filter(F.length("gram") > 0)
+        .withColumn("h", portable_hash64(F.col("gram"), seed))
+    )
+    win = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        pos_grams.select("doc_id", F.min("h").over(win).alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_fingerprints_sql(k: int = 5, w: int = 4, seed: int = 31,
+                            src: str = "documents") -> str:
+    h = portable_hash64_sql("gram", seed)
+    return f"""
+WITH grams AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+{k - 1}], ' ') AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {src}),
+       LATERAL (SELECT unnest(range(1, GREATEST(len(toks) - {k - 1}, 1) + 1)) AS i)
+),
+hashed AS (
+  SELECT doc_id, pos, {h} AS h FROM grams WHERE length(gram) > 0
+)
+SELECT DISTINCT doc_id,
+       MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp
+FROM hashed
+"""
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
