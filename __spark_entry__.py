@@ -659,6 +659,74 @@ sims AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM bit_sums)
 """
 
 
+def _ann_lsh_sql(bits: int = 4, n_tables: int = 4, k: int = 5) -> str:
+    """DuckDB re-derivation of the multi-table multi-probe LSH ANN: the
+    hyperplanes are deterministic, so they are emitted as literals and
+    the whole pipeline (sign buckets → probe fan-out incl. Hamming-1
+    flips → candidate dedup → exact cosine top-k) is plain SQL."""
+    from parquet_producers_spark.functions.similarity import hyperplanes
+
+    rows = []
+    for t in range(n_tables):
+        for p, plane in enumerate(hyperplanes(64, bits, seed=7 + 131 * t)):
+            for d, wgt in enumerate(plane):
+                rows.append(f"({t},{p},{d},{wgt!r})")
+    planes = ",".join(rows)
+    flips = ",".join(str(1 << i) for i in range(bits))
+    return f"""
+WITH planes(tbl, plane, dim, w) AS (VALUES {planes}),
+dims AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS idx
+  FROM embeddings
+),
+dots AS (
+  SELECT d.vec_id, p.tbl, p.plane, SUM(d.x * p.w) AS dot
+  FROM dims d JOIN planes p ON p.dim = d.idx - 1
+  GROUP BY d.vec_id, p.tbl, p.plane
+),
+buckets AS (
+  SELECT vec_id, tbl,
+         CAST(SUM(CASE WHEN dot >= 0
+                       THEN CAST(POW(2, plane) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id, tbl
+),
+probe_buckets AS (
+  SELECT vec_id, tbl, bucket FROM buckets WHERE vec_id < 10
+  UNION
+  SELECT b.vec_id, b.tbl, xor(b.bucket, CAST(f.flip AS BIGINT))
+  FROM buckets b, (SELECT unnest([{flips}]) AS flip) f
+  WHERE b.vec_id < 10
+),
+cand AS (
+  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS nbr_id
+  FROM probe_buckets p
+  JOIN buckets c ON p.tbl = c.tbl AND p.bucket = c.bucket
+  WHERE p.vec_id != c.vec_id
+),
+scored AS (
+  SELECT cd.probe_id, cd.nbr_id,
+         ROUND(
+           (SELECT SUM(CAST(pa AS DOUBLE) * CAST(ca AS DOUBLE))
+            FROM (SELECT unnest(p.embedding) AS pa, unnest(c.embedding) AS ca))
+           / (SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                    FROM (SELECT unnest(p.embedding) AS x)))
+              * SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                      FROM (SELECT unnest(c.embedding) AS x)))), 4) AS cosine
+  FROM cand cd
+  JOIN embeddings p ON p.vec_id = cd.probe_id
+  JOIN embeddings c ON c.vec_id = cd.nbr_id
+)
+SELECT probe_id, nbr_id, cosine, rank FROM (
+  SELECT probe_id, nbr_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY probe_id
+                            ORDER BY cosine DESC, nbr_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 # per-doc (word, pos) split of a document set — matches the producer's
 # split_words exactly (0-based position within the doc's text)
 def _words_sql(src: str) -> str:
@@ -1021,5 +1089,7 @@ LEFT JOIN boot_ids b ON f.word = b.word
 LEFT JOIN novel_ids n ON f.word = n.word
 """
 
-    # codec_stats / embedding_ann_lsh are engine-specific (rows-only)
+    sql["embedding_ann_lsh"] = _ann_lsh_sql(bits=4, n_tables=4, k=5)
+
+    # codec_stats is engine-specific (rows-only)
     return sql
