@@ -502,6 +502,35 @@ def _cdc_wave_state(spark, sf):
     return update_stage(stage, content, mappings, wave)
 
 
+def q_multimodal_frames(spark, sf):
+    """Frame-sampling plumbing over synthesized media: every 2nd
+    64-byte frame per payload, one output row per frame, bytes + md5
+    oracle-verified (the UDF is where a real demuxer slots in)."""
+    from parquet_producers_spark.functions.multimodal import (
+        sample_frames,
+        synthesize_media,
+    )
+
+    _ensure_pkg(spark)
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return sample_frames(synthesize_media(d), frame_bytes=64, every=2)
+
+
+def q_multimodal_resize(spark, sf):
+    """Resize plumbing over image rows (stub kernel: truncate to
+    th*tw); non-image rows pass through with null dims."""
+    from parquet_producers_spark.functions.multimodal import (
+        resize_images,
+        synthesize_media,
+    )
+
+    _ensure_pkg(spark)
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    out = resize_images(synthesize_media(d), th=32, tw=32)
+    return out.select("doc_id", "media_type", "out_h", "out_w", "n_bytes",
+                      F.sha2(F.col("payload"), 256).alias("payload_sha"))
+
+
 def q_producer_incremental_cdc(spark, sf):
     """Incremental reconcile + CDC classification (ops 11-19), oracle-
     verified: the per-type event counts must equal the SQL re-derivation
@@ -596,6 +625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn": q_embedding_knn,
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_resize": q_multimodal_resize,
         "producer_incremental_cdc": q_producer_incremental_cdc,
         "producer_incremental_content": q_producer_incremental_content,
         "producer_preserved_ids": q_producer_preserved_ids,
@@ -1087,6 +1118,40 @@ SELECT f.word, COALESCE(b.wid, n.wid) AS wid
 FROM final_words f
 LEFT JOIN boot_ids b ON f.word = b.word
 LEFT JOIN novel_ids n ON f.word = n.word
+"""
+
+    # text is pure ASCII (asserted via octet_length==length), so string
+    # substring is byte-accurate and md5(varchar)==md5(frame bytes)
+    sql["multimodal_frames"] = """
+WITH frames AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END
+           AS media_type,
+         i AS frame_idx,
+         substring(text, i * 64 + 1, 64) AS fr
+  FROM documents,
+       LATERAL (SELECT unnest(range(0,
+         CAST(CEIL(length(text) / 64.0) AS BIGINT), 2)) AS i)
+  WHERE doc_id < 100
+)
+SELECT doc_id, media_type, CAST(frame_idx AS INT) AS frame_idx,
+       encode(fr) AS frame, length(fr) AS frame_len, md5(fr) AS frame_md5
+FROM frames
+"""
+
+    sql["multimodal_resize"] = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END
+         AS media_type,
+       CASE WHEN doc_id % 2 = 0 THEN 32 ELSE NULL END AS out_h,
+       CASE WHEN doc_id % 2 = 0 THEN 32 ELSE NULL END AS out_w,
+       CASE WHEN doc_id % 2 = 0
+            THEN length(substring(text, 1, 1024)) ELSE length(text) END
+         AS n_bytes,
+       CASE WHEN doc_id % 2 = 0
+            THEN sha256(substring(text, 1, 1024)) ELSE sha256(text) END
+         AS payload_sha
+FROM documents WHERE doc_id < 100
 """
 
     sql["embedding_ann_lsh"] = _ann_lsh_sql(bits=4, n_tables=4, k=5)

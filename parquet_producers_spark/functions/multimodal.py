@@ -55,6 +55,81 @@ def _stub_decode_audio(payload: bytes) -> dict:
 _STUB_DECODERS = {"image/png": _stub_decode_image, "audio/wav": _stub_decode_audio}
 
 
+def _stub_resize(payload: bytes, th: int, tw: int) -> bytes:
+    """STUB: a real deployment decodes, resamples (PIL/libvips) and
+    re-encodes here. Deterministic fake with the real op's shape: the
+    'resized' image is the payload truncated to th*tw bytes."""
+    return payload[: th * tw]
+
+
+def resize_images(media: DataFrame, th: int = 32, tw: int = 32) -> DataFrame:
+    """Image resize plumbing: Arrow-batched pandas UDF over image rows.
+
+    One row in → one row out with the resized payload + new dims; the
+    kernel is :func:`_stub_resize` (swap in a real decoder+resampler
+    without touching the Spark plumbing). Non-image rows pass through
+    untouched with null dims.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            is_img = pdf["media_type"] == "image/png"
+            resized = [
+                _stub_resize(p, th, tw) if img else p
+                for img, p in zip(is_img, pdf["payload"])
+            ]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "out_h": [th if i else None for i in is_img],
+                "out_w": [tw if i else None for i in is_img],
+                "payload": resized,
+                "n_bytes": [len(p) for p in resized],
+            })
+
+    return media.mapInPandas(
+        run,
+        schema=("doc_id long, media_type string, out_h int, out_w int,"
+                " payload binary, n_bytes long"),
+    )
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = 64,
+                  every: int = 2) -> DataFrame:
+    """Frame sampling plumbing: one payload row → one row per sampled
+    fixed-width frame (every ``every``-th frame of ``frame_bytes``
+    bytes). The Arrow-batched UDF is where a real container demuxer
+    (ffmpeg) slots in; the fixed-byte framing is the deterministic
+    stand-in. Emits the frame bytes plus an md5 so the DuckDB oracle
+    can verify the batch shape AND content byte-for-byte."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, mts, idxs, frames, lens, md5s = [], [], [], [], [], []
+            for doc_id, mt, payload in zip(
+                    pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                n_frames = (len(payload) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, every):
+                    fr = payload[i * frame_bytes:(i + 1) * frame_bytes]
+                    ids.append(doc_id)
+                    mts.append(mt)
+                    idxs.append(i)
+                    frames.append(fr)
+                    lens.append(len(fr))
+                    md5s.append(hashlib.md5(fr).hexdigest())
+            yield pd.DataFrame({
+                "doc_id": ids, "media_type": mts, "frame_idx": idxs,
+                "frame": frames, "frame_len": lens, "frame_md5": md5s,
+            })
+
+    return media.mapInPandas(
+        run,
+        schema=("doc_id long, media_type string, frame_idx int,"
+                " frame binary, frame_len int, frame_md5 string"),
+    )
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """Feature extraction over binary payloads.
 
