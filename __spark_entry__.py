@@ -446,6 +446,18 @@ def q_embedding_ann_lsh(spark, sf):
     return lsh_ann_topk(e, probes, k=5, bits=4, n_tables=4)
 
 
+def q_embedding_ivf(spark, sf):
+    """IVF ANN (the other mandated scale path next to LSH): coarse
+    quantizer = deterministic mini k-means (init: smallest vec_ids,
+    2 Lloyd rounds); probes search only the 2 nearest clusters via an
+    inverted-file equi-join. Fully SQL-expressible → oracle-verified."""
+    from parquet_producers_spark.functions.similarity import ivf_topk
+
+    e = _t(spark, sf, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10)
+    return ivf_topk(e, probes, k=5, n_centroids=8, iters=2, n_probe=2)
+
+
 def q_multimodal_features(spark, sf):
     from parquet_producers_spark.functions.multimodal import (
         extract_features,
@@ -624,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow_fp": q_text_winnow_fp,
         "embedding_knn": q_embedding_knn,
         "embedding_ann_lsh": q_embedding_ann_lsh,
+        "embedding_ivf": q_embedding_ivf,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,
@@ -690,6 +703,92 @@ sims AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM bit_sums)
 """
 
 
+_COSINE_TOPK_SQL = """
+scored AS (
+  SELECT cd.probe_id, cd.nbr_id,
+         ROUND(
+           (SELECT SUM(CAST(pa AS DOUBLE) * CAST(ca AS DOUBLE))
+            FROM (SELECT unnest(p.embedding) AS pa, unnest(c.embedding) AS ca))
+           / (SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                    FROM (SELECT unnest(p.embedding) AS x)))
+              * SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                      FROM (SELECT unnest(c.embedding) AS x)))), 4) AS cosine
+  FROM cand cd
+  JOIN embeddings p ON p.vec_id = cd.probe_id
+  JOIN embeddings c ON c.vec_id = cd.nbr_id
+)
+SELECT probe_id, nbr_id, cosine, rank FROM (
+  SELECT probe_id, nbr_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY probe_id
+                            ORDER BY cosine DESC, nbr_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def _ivf_sql(n_centroids: int = 8, iters: int = 2, n_probe: int = 2,
+             k: int = 5) -> str:
+    """DuckDB re-derivation of the IVF coarse quantizer: the mini
+    k-means (fixed init = smallest vec_ids, fixed Lloyd rounds) is
+    unrolled into one CTE stanza per round."""
+    stanzas = [f"""
+dims AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS idx
+  FROM embeddings
+),
+cent0 AS (
+  SELECT vec_id AS cl, idx AS dim, x AS w FROM dims
+  WHERE vec_id < {n_centroids}
+)"""]
+    for i in range(iters):
+        stanzas.append(f"""
+dist{i} AS (
+  SELECT d.vec_id, c.cl, SUM((d.x - c.w) * (d.x - c.w)) AS dist
+  FROM dims d JOIN cent{i} c ON c.dim = d.idx
+  GROUP BY d.vec_id, c.cl
+),
+assign{i} AS (
+  SELECT vec_id, cl FROM (
+    SELECT vec_id, cl,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+    FROM dist{i}
+  ) WHERE rn = 1
+),
+cent{i + 1} AS (
+  SELECT a.cl, d.idx AS dim, AVG(d.x) AS w
+  FROM assign{i} a JOIN dims d ON d.vec_id = a.vec_id
+  GROUP BY a.cl, d.idx
+)""")
+    stanzas.append(f"""
+fdist AS (
+  SELECT d.vec_id, c.cl, SUM((d.x - c.w) * (d.x - c.w)) AS dist
+  FROM dims d JOIN cent{iters} c ON c.dim = d.idx
+  GROUP BY d.vec_id, c.cl
+),
+final_assign AS (
+  SELECT vec_id, cl FROM (
+    SELECT vec_id, cl,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+    FROM fdist
+  ) WHERE rn = 1
+),
+probe_cl AS (
+  SELECT vec_id AS probe_id, cl FROM (
+    SELECT vec_id, cl,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+    FROM fdist WHERE vec_id < 10
+  ) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT DISTINCT p.probe_id, a.vec_id AS nbr_id
+  FROM probe_cl p JOIN final_assign a ON a.cl = p.cl
+  WHERE a.vec_id != p.probe_id
+)""")
+    return "WITH " + ",".join(stanzas) + "," \
+        + _COSINE_TOPK_SQL.format(k=k)
+
+
 def _ann_lsh_sql(bits: int = 4, n_tables: int = 4, k: int = 5) -> str:
     """DuckDB re-derivation of the multi-table multi-probe LSH ANN: the
     hyperplanes are deterministic, so they are emitted as literals and
@@ -735,27 +834,7 @@ cand AS (
   FROM probe_buckets p
   JOIN buckets c ON p.tbl = c.tbl AND p.bucket = c.bucket
   WHERE p.vec_id != c.vec_id
-),
-scored AS (
-  SELECT cd.probe_id, cd.nbr_id,
-         ROUND(
-           (SELECT SUM(CAST(pa AS DOUBLE) * CAST(ca AS DOUBLE))
-            FROM (SELECT unnest(p.embedding) AS pa, unnest(c.embedding) AS ca))
-           / (SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
-                    FROM (SELECT unnest(p.embedding) AS x)))
-              * SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
-                      FROM (SELECT unnest(c.embedding) AS x)))), 4) AS cosine
-  FROM cand cd
-  JOIN embeddings p ON p.vec_id = cd.probe_id
-  JOIN embeddings c ON c.vec_id = cd.nbr_id
-)
-SELECT probe_id, nbr_id, cosine, rank FROM (
-  SELECT probe_id, nbr_id, cosine,
-         ROW_NUMBER() OVER (PARTITION BY probe_id
-                            ORDER BY cosine DESC, nbr_id) AS rank
-  FROM scored
-) WHERE rank <= {k}
-"""
+),""" + _COSINE_TOPK_SQL.format(k=k)
 
 
 # per-doc (word, pos) split of a document set — matches the producer's
@@ -1155,6 +1234,7 @@ FROM documents WHERE doc_id < 100
 """
 
     sql["embedding_ann_lsh"] = _ann_lsh_sql(bits=4, n_tables=4, k=5)
+    sql["embedding_ivf"] = _ivf_sql(n_centroids=8, iters=2, n_probe=2, k=5)
 
     # codec_stats is engine-specific (rows-only)
     return sql

@@ -65,6 +65,98 @@ def cosine_topk(
     )
 
 
+def _sq_l2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame, n_centroids: int = 8, iters: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: deterministic mini k-means.
+
+    Init = the vectors with the ``n_centroids`` smallest ids (fixed,
+    reproducible in SQL); ``iters`` Lloyd rounds of assign-to-nearest
+    (squared L2, ties by centroid id) + elementwise-mean update.
+    Returns ``(centroids(cl, cvec), assignment(id, cl, vec))``. The
+    centroid set is tiny and broadcast; each round is one crossJoin +
+    one groupBy — at 100 TB the assignment is a stored table and the
+    rounds run once at index-build time, not per query.
+    """
+    from pyspark.sql import Window
+
+    cents = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cl"), F.col(vec_col).alias("cvec"))
+
+    def assign(cents_df):
+        scored = corpus.select(
+            F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+        ).crossJoin(F.broadcast(cents_df)).withColumn(
+            "__dist", _sq_l2(F.col("__vec"), F.col("cvec")))
+        w = Window.partitionBy("__id").orderBy("__dist", "cl")
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("__id", "cl", "__vec")
+        )
+
+    for _ in range(iters):
+        best = assign(cents)
+        cents = (
+            best.select("cl", F.posexplode("__vec").alias("dim", "x"))
+            .groupBy("cl", "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("w"))
+            .groupBy("cl")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "w"))).alias("s"))
+            .select("cl", F.transform("s", lambda t: t["w"]).alias("cvec"))
+        )
+    return cents, assign(cents)
+
+
+def ivf_topk(
+    corpus: DataFrame, probes: DataFrame, k: int = 5,
+    n_centroids: int = 8, iters: int = 2, n_probe: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: probe the ``n_probe`` nearest coarse clusters only.
+
+    Candidates per probe ≈ n_probe/n_centroids of the corpus, from an
+    equi-join on the cluster id (the inverted file). Exact cosine top-k
+    inside the probed clusters.
+    """
+    from pyspark.sql import Window
+
+    cents, assign = ivf_assign(corpus, n_centroids, iters, id_col, vec_col)
+    inv = assign.select(F.col("__id").alias("nbr_id"),
+                        F.col("cl"), F.col("__vec").alias("nbr_vec"))
+    p = probes.select(F.col(id_col).alias("probe_id"),
+                      F.col(vec_col).alias("probe_vec"))
+    pw = Window.partitionBy("probe_id").orderBy("__dist", "cl")
+    probe_cl = (
+        p.crossJoin(F.broadcast(cents))
+        .withColumn("__dist", _sq_l2(F.col("probe_vec"), F.col("cvec")))
+        .withColumn("__rn", F.row_number().over(pw))
+        .filter(F.col("__rn") <= n_probe)
+        .select("probe_id", "probe_vec", "cl")
+    )
+    joined = (
+        probe_cl.join(inv, "cl")
+        .filter(F.col("probe_id") != F.col("nbr_id"))
+    )
+    scored = with_cosine(joined, "probe_vec", "nbr_vec")
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "nbr_id", "cosine", "rank")
+    )
+
+
 def hyperplanes(dim: int, bits: int, seed: int = 7) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes in [-1, 1]."""
     idx = np.arange(bits * dim, dtype=np.uint64) + np.uint64(seed * 1_000_003)

@@ -25,6 +25,7 @@ from ..filestore import FileStore, LocalStore
 from ..operators.multisource import feeder_view, read_sources
 from ..operators.produce import Stage, empty_state, update_stage
 from ..storage import atomic_write_json, list_versions, stage_dir
+from ..util import ThrottledLogger
 
 
 @dataclass
@@ -43,6 +44,9 @@ class Pipeline:
         # resolves the same URIs natively
         self.store = store or LocalStore()
         self.nodes: dict[str, _Node] = {}
+        # reference ThrottledLogger.cs: progress lines are rate-limited;
+        # complete per-stage timings always land in the txn manifest
+        self.log = ThrottledLogger(interval_s=5.0)
 
     def add(self, stage: Stage, sources: list[str] | None = None) -> "Pipeline":
         self.nodes[stage.name] = _Node(stage, sources or [])
@@ -178,6 +182,8 @@ class Pipeline:
             self._write(name, new_version, "updates", updates_out,
                         sort_cols=stage.tk_cols)
             timings[name] = round(time.monotonic() - t0, 3)
+            self.log.info("stage %s v%d done in %.3fs", name, new_version,
+                          timings[name])
 
         atomic_write_json(
             posixpath.join(self.root, f"_txn/v={new_version}.json"),

@@ -184,3 +184,30 @@ def test_preserve_cols_and_merge_hooks(spark):
     got = {r.word: (r.label, r.n_seen) for r in c1.collect()}
     assert got == {"dog": ("fresh", 2), "cat": ("fresh", 1),
                    "bird": ("fresh", 1)}
+
+
+def test_ivf_recall_and_determinism(spark, sf_dir):
+    """IVF ANN: recall vs exact kNN at n_probe=2 of 8 clusters, and
+    assignment determinism across two evaluations."""
+    from parquet_producers_spark.functions.similarity import (
+        ivf_assign,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 20)
+    want = {(r.probe_id, r.nbr_id)
+            for r in cosine_topk(emb, probes, k=5).collect()}
+    got = {(r.probe_id, r.nbr_id)
+           for r in ivf_topk(emb, probes, k=5, n_centroids=8,
+                             iters=2, n_probe=2).collect()}
+    recall = len(want & got) / len(want)
+    # 2/8 clusters probed ≈ 25% of a near-random corpus scanned; the
+    # top-1 neighbor is usually co-clustered — expect mid recall here,
+    # exact shape on clustered real embeddings
+    assert recall >= 0.3, recall
+    _c, a1 = ivf_assign(emb, n_centroids=8, iters=2)
+    _c, a2 = ivf_assign(emb, n_centroids=8, iters=2)
+    m1 = {r["__id"]: r["cl"] for r in a1.collect()}
+    m2 = {r["__id"]: r["cl"] for r in a2.collect()}
+    assert m1 == m2 and len(set(m1.values())) > 1

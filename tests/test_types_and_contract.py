@@ -80,3 +80,30 @@ def test_decimal_keys_through_producer(spark):
     rows = sorted((str(r.amt), r.inv) for r in content.collect())
     assert rows == [("10.50", "a"), ("10.50", "b")]
     assert updates_out.filter("type = 'Add'").count() == 1
+
+
+def test_throttled_logger_drops_within_interval():
+    """Reference Util/ThrottledLogger.cs: first message after the window
+    opens is emitted, later ones within the interval are dropped."""
+    import logging
+
+    from parquet_producers_spark.util import ThrottledLogger
+
+    emitted = []
+
+    class Sink(logging.Handler):
+        def emit(self, record):
+            emitted.append(record.getMessage())
+
+    lg = logging.getLogger("pps-test-throttle")
+    lg.setLevel(logging.INFO)
+    lg.addHandler(Sink())
+    t = ThrottledLogger(lg, interval_s=60.0)
+    t.info("first %d", 1)
+    t.info("second")
+    t.info("third")
+    assert emitted == ["first 1"]
+    assert t.dropped == 2
+    t._last = float("-inf")  # window reopens
+    t.info("fourth")
+    assert emitted == ["first 1", "fourth"]
