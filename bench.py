@@ -151,6 +151,57 @@ def encode_level(cores: int, src_path: str, work: str,
     return out
 
 
+def direct_level(cores: int, src_path: str, work: str,
+                 reps: int = ENCODE_REPS) -> dict:
+    """Direct-scan encode (workers read the sorted parquet with Arrow
+    C++; table bytes never cross the JVM→Python socket) — the peak-
+    throughput path for clustered corpora. Same measurement protocol
+    as encode_level."""
+    import glob
+
+    from parquet_producers_spark.session import get_spark
+    from parquet_producers_spark.encoder import encode_files
+
+    from pyspark.sql import functions as F
+
+    files = sorted(glob.glob(os.path.join(src_path, "part-*.parquet")))
+    spark = get_spark(f"bench-direct-{cores}", cores=cores,
+                      shuffle_partitions=cores)
+    try:
+        encode_files(spark, files[:cores], key_col="repo").count()  # warm
+        elapsed_runs = []
+        raw_content = raw_all = enc_all = 0
+        for r in range(reps):
+            t0 = time.monotonic()
+            out_dir = os.path.join(work, f"enc_direct_{cores}_{r}")
+            encode_files(spark, files, key_col="repo").write.mode(
+                "overwrite").option("compression", "none").parquet(out_dir)
+            elapsed_runs.append(time.monotonic() - t0)
+            agg = (
+                spark.read.parquet(out_dir)
+                .groupBy((F.col("column") == "content").alias("is_content"))
+                .agg(F.sum("raw_bytes").alias("raw"),
+                     F.sum("enc_bytes").alias("enc"))
+                .collect()
+            )
+            raw_content = sum(x.raw for x in agg if x.is_content)
+            raw_all = sum(x.raw for x in agg)
+            enc_all = sum(x.enc for x in agg)
+            shutil.rmtree(out_dir, ignore_errors=True)
+        med = _median(elapsed_runs)
+        return {
+            "cores": cores,
+            "elapsed_s": round(med, 3),
+            "elapsed_runs_s": [round(e, 3) for e in elapsed_runs],
+            "content_bytes": int(raw_content),
+            "raw_bytes": int(raw_all),
+            "enc_bytes": int(enc_all),
+            "content_gbps": round(raw_content / med / 1e9, 4),
+        }
+    finally:
+        spark.stop()
+
+
 def _kernel_chunk():
     """A ~4 MB code-like string chunk for the contention probe."""
     import random
@@ -315,8 +366,10 @@ def main() -> None:
         ]
         low_all = encode_level(LOW_CPUS, src_path, work, mode_specs)
         high_all = encode_level(HIGH_CPUS, src_path, work, mode_specs)
+        low_all["direct"] = direct_level(LOW_CPUS, src_path, work)
+        high_all["direct"] = direct_level(HIGH_CPUS, src_path, work)
         modes = {}
-        for tag, _c, _p in mode_specs:
+        for tag in [t for t, _c, _p in mode_specs] + ["direct"]:
             low, high = low_all[tag], high_all[tag]
             eff = min(
                 (high["content_gbps"] / low["content_gbps"])
@@ -380,10 +433,19 @@ def _write_bench_md(result: dict) -> None:
     for tag, mode in enc["modes"].items():
         levels = sorted((k for k in mode if k.startswith("local[")),
                         key=lambda s: int(s[6:-1]))
-        title = ("pure lightweight codecs (dict/RLE/FSST/bit-pack/FOR,"
-                 " size profile)" if tag == "lightweight" else
-                 "deployment default (balanced profile + zstd entropy"
-                 " cascade)")
+        titles = {
+            "lightweight": "pure lightweight codecs (dict/RLE/FSST/"
+                           "bit-pack/FOR, size profile)",
+            "cascade": "deployment default (balanced profile + zstd"
+                       " entropy cascade)",
+            "direct": "direct-scan path (workers read sorted parquet"
+                      " via Arrow C++ — no JVM→Python shipping; size"
+                      " profile). Peak throughput; at this 1-second job"
+                      " size the ~0.5 s fixed scheduling/write floor"
+                      " dominates the high level, so scaling evidence"
+                      " is the kernel probe",
+        }
+        title = titles.get(tag, tag)
         lines += [
             f"## Encode — {title}", "",
             "| parallelism | content GB/s | median s | all runs s |",

@@ -197,6 +197,67 @@ def encode_partitions(
     return df.mapInArrow(enc, schema=out_schema)
 
 
+def encode_files(
+    spark,
+    files: list[str],
+    chunk_rows: int = CHUNK_ROWS,
+    cascade: bool = False,
+    profile: str = "size",
+    key_col: str | None = None,
+) -> DataFrame:
+    """Direct-scan encode of pre-sorted parquet files: each task reads
+    its file with Arrow C++ inside the Python worker and encodes it —
+    the table bytes NEVER cross the JVM→Python socket.
+
+    Why it exists: at local[16] the measured plain
+    ``scan → mapInArrow`` encode spends ~70% of wall-clock shipping
+    Arrow batches into Python (pass-through floor 0.85 s vs 0.17 s
+    JVM-only scan on the 0.42 GB bench table); with the worker reading
+    the file itself the whole pipeline is worker-local. The same shape
+    holds on a cluster: the file list parallelizes, each executor
+    reads its splits from the object store directly (pyarrow
+    filesystem), and ``part_id`` comes from the file index — output is
+    deterministic under any scheduling. Use this for clustered/sorted
+    corpora; :func:`encode_partitions` remains the general path when a
+    shuffle sort or arbitrary upstream DataFrame feeds the encode.
+    """
+    import pandas as pd
+
+    files = sorted(files)
+    # one task per core by default, several files per task: local-mode
+    # python task round-trips cost ~10 ms each SERIALIZED on the
+    # driver, so 64 one-file tasks burn 0.8 s of pure scheduling. On a
+    # real cluster raise n_tasks for elasticity/straggler coverage.
+    # createDataFrame from pandas splits into defaultParallelism
+    # contiguous slices — the task list needs no shuffle stage
+    fdf = spark.createDataFrame(
+        pd.DataFrame({"part_id": range(len(files)), "path": files}),
+        schema="part_id int, path string",
+    )
+
+    def enc(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            for pid, path in zip(b.column("part_id").to_pylist(),
+                                 b.column("path").to_pylist()):
+                # use_threads=False: every worker on the box reading
+                # with Arrow's default all-core pool oversubscribes
+                # 16 workers × 32 threads; one core per task is the
+                # executor model
+                tbl = pq.read_table(path, use_threads=False)
+                seq = 0
+                for off in range(0, max(tbl.num_rows, 1), chunk_rows):
+                    chunk = tbl.slice(off, chunk_rows)
+                    if chunk.num_rows == 0:
+                        continue
+                    yield _encode_chunk(chunk, pid, seq, cascade,
+                                        key_col, profile)
+                    seq += 1
+
+    return fdf.mapInArrow(enc, schema=CHUNK_SPARK_SCHEMA)
+
+
 def decode_chunks(chunks: DataFrame, ordered: bool = True) -> DataFrame:
     """Inverse of :func:`encode_partitions`: chunk table → original rows.
 

@@ -75,3 +75,46 @@ def test_codec_choices_are_sane(spark, source):
     assert chosen["repo"] <= {"rle", "dict"}, chosen
     assert chosen["lang"] <= {"rle", "dict"}, chosen
     assert chosen["content"] & {"linedict", "fsst"}, chosen
+
+
+def test_encode_files_direct_roundtrip(spark, tmp_path):
+    """Direct-scan path (workers read parquet via Arrow, no JVM->Python
+    shipping) produces content identical to the DataFrame path."""
+    import glob
+    import hashlib
+
+    from parquet_producers_spark.datagen import source_code_df
+    from parquet_producers_spark.encoder import (
+        decode_chunks,
+        encode_files,
+        encode_partitions,
+    )
+
+    src = str(tmp_path / "src")
+    (source_code_df(spark, 800, seed=3, partitions=2)
+     .repartitionByRange(4, "repo", "path")
+     .sortWithinPartitions("repo", "path")
+     .write.mode("overwrite").parquet(src))
+    files = sorted(glob.glob(src + "/part-*.parquet"))
+    assert len(files) >= 2
+
+    def digest(df):
+        h = hashlib.sha256()
+        for r in df.orderBy("repo", "path").collect():
+            h.update(r.repo.encode())
+            h.update(r.path.encode())
+            h.update(r.content.encode())
+        return h.hexdigest()
+
+    direct = decode_chunks(
+        encode_files(spark, files, key_col="repo"), ordered=False)
+    viaspark = decode_chunks(
+        encode_partitions(spark.read.parquet(src), key_col="repo"),
+        ordered=False)
+    want = digest(spark.read.parquet(src))
+    assert digest(direct) == want
+    assert digest(viaspark) == want
+    # zone maps present on the direct path too
+    chunks = encode_files(spark, files, key_col="repo")
+    row = chunks.filter("col_idx = 0").limit(1).collect()[0]
+    assert row.key_min is not None and row.key_max >= row.key_min
