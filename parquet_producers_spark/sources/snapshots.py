@@ -1,0 +1,137 @@
+"""Snapshot-manifest table layout — the Iceberg-shaped input layer.
+
+The north rule's input is an Iceberg table of source-code repos. The
+Iceberg *library* isn't in this container, so this module implements
+the load-bearing subset of its model natively (no formats borrowed,
+just the architecture): a table is a directory of immutable parquet
+data files plus a chain of JSON **snapshot manifests**; every commit
+writes new data files and ONE new manifest listing the table's current
+files — readers list the manifest, never the directory, so
+
+* commits are atomic (the manifest appears or it doesn't),
+* time travel = read an older snapshot id,
+* appends/replaces never disturb concurrent readers,
+* planning input = per-file row counts/sizes from the manifest.
+
+All metadata goes through :class:`~..filestore.FileStore`, so the same
+layout works on ``file://`` and object stores; data moves via Spark's
+parquet reader given explicit file lists (an Iceberg-style
+manifest-driven scan, not directory listing).
+"""
+
+from __future__ import annotations
+
+import posixpath
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..filestore import FileStore, LocalStore
+
+
+def _manifest_dir(table_dir: str) -> str:
+    return posixpath.join(table_dir, "_snapshots")
+
+
+def _manifest_path(table_dir: str, snapshot_id: int) -> str:
+    return posixpath.join(_manifest_dir(table_dir), f"s={snapshot_id:06d}.json")
+
+
+def list_snapshots(table_dir: str, store: FileStore | None = None) -> list[int]:
+    store = store or LocalStore()
+    return sorted(
+        int(e.split("=")[1].split(".")[0])
+        for e in store.listdir(_manifest_dir(table_dir))
+        if e.startswith("s=") and e.endswith(".json")
+    )
+
+
+def commit_snapshot(
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "append",
+    store: FileStore | None = None,
+) -> int:
+    """Write ``df``'s rows as new immutable data files + one manifest.
+
+    ``mode='append'`` — new snapshot = previous files + new files;
+    ``mode='replace'`` — new snapshot = new files only (logical
+    overwrite; old files stay on disk for older snapshots).
+    Returns the new snapshot id. The commit point is the atomic
+    manifest write: a reader either sees the complete new snapshot or
+    the previous one.
+    """
+    store = store or LocalStore()
+    snaps = list_snapshots(table_dir, store)
+    prev_files: list[dict] = []
+    if snaps and mode == "append":
+        prev_files = store.read_json(_manifest_path(table_dir, snaps[-1]))["files"]
+    new_id = (snaps[-1] + 1) if snaps else 1
+
+    data_dir = posixpath.join(table_dir, f"data/s={new_id:06d}")
+    df.write.mode("overwrite").parquet(data_dir)
+    listed = [
+        e for e in store.listdir(data_dir)
+        if e.endswith(".parquet") and not e.startswith(("_", "."))
+    ]
+    new_files = []
+    for name in sorted(listed):
+        path = posixpath.join(data_dir, name)
+        new_files.append({"path": path})
+    # per-file stats (rows/bytes) for planning, one scan of footers
+    stats = {
+        r["__f"]: (r["n"],) for r in
+        spark.read.parquet(*[f["path"] for f in new_files])
+        .selectExpr("input_file_name() AS __f").groupBy("__f").count()
+        .withColumnRenamed("count", "n").collect()
+    } if new_files else {}
+    for f in new_files:
+        # input_file_name returns a URI form; match by suffix
+        n = next((v[0] for k, v in stats.items() if k.endswith(
+            f["path"].split("/")[-1])), None)
+        f["rows"] = int(n) if n is not None else None
+
+    store.write_json_atomic(_manifest_path(table_dir, new_id), {
+        "snapshot": new_id,
+        "parent": snaps[-1] if snaps else None,
+        "mode": mode,
+        "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "schema_ddl": ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields),
+        "files": prev_files + new_files,
+    })
+    return new_id
+
+
+def read_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    snapshot_id: int | None = None,
+    store: FileStore | None = None,
+) -> DataFrame:
+    """Manifest-driven scan: read exactly the files the snapshot lists
+    (never a directory listing). ``snapshot_id=None`` → latest."""
+    store = store or LocalStore()
+    snaps = list_snapshots(table_dir, store)
+    if not snaps:
+        raise FileNotFoundError(f"no snapshots under {table_dir}")
+    sid = snapshot_id if snapshot_id is not None else snaps[-1]
+    if sid not in snaps:
+        raise ValueError(f"snapshot {sid} not in {snaps}")
+    manifest = store.read_json(_manifest_path(table_dir, sid))
+    paths = [f["path"] for f in manifest["files"]]
+    if not paths:
+        return spark.createDataFrame([], schema=manifest["schema_ddl"])
+    return spark.read.parquet(*paths)
+
+
+def snapshot_files(table_dir: str, snapshot_id: int | None = None,
+                   store: FileStore | None = None) -> list[dict]:
+    """The snapshot's file list with stats — planning input (e.g. feed
+    the paths straight to ``encoder.encode_files`` for the direct-scan
+    encode of a sorted corpus)."""
+    store = store or LocalStore()
+    snaps = list_snapshots(table_dir, store)
+    sid = snapshot_id if snapshot_id is not None else snaps[-1]
+    return store.read_json(_manifest_path(table_dir, sid))["files"]

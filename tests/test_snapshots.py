@@ -1,0 +1,72 @@
+"""Snapshot-manifest table layout (the Iceberg-shaped input layer):
+atomic commits, manifest-driven scans, time travel, append vs replace,
+and feeding the file list to the direct-scan encoder."""
+
+from __future__ import annotations
+
+import pytest
+
+from parquet_producers_spark.sources.snapshots import (
+    commit_snapshot,
+    list_snapshots,
+    read_snapshot,
+    snapshot_files,
+)
+
+
+def test_append_replace_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    s1 = commit_snapshot(spark, df1, t)
+    assert s1 == 1 and list_snapshots(t) == [1]
+    assert sorted((r.id, r.v) for r in read_snapshot(spark, t).collect()) == [
+        (1, "a"), (2, "b")]
+
+    df2 = spark.createDataFrame([(3, "c")], "id int, v string")
+    s2 = commit_snapshot(spark, df2, t, mode="append")
+    assert s2 == 2
+    assert sorted(r.id for r in read_snapshot(spark, t).collect()) == [1, 2, 3]
+    # time travel: snapshot 1 unchanged
+    assert sorted(r.id for r in read_snapshot(spark, t, 1).collect()) == [1, 2]
+
+    df3 = spark.createDataFrame([(9, "z")], "id int, v string")
+    s3 = commit_snapshot(spark, df3, t, mode="replace")
+    assert s3 == 3
+    assert [r.id for r in read_snapshot(spark, t).collect()] == [9]
+    # all history still readable
+    assert sorted(r.id for r in read_snapshot(spark, t, 2).collect()) == [1, 2, 3]
+
+    with pytest.raises(ValueError):
+        read_snapshot(spark, t, 7)
+
+    files = snapshot_files(t, 2)
+    assert sum(f["rows"] or 0 for f in files) == 3
+    assert all(f["path"].endswith(".parquet") for f in files)
+
+
+def test_snapshot_feeds_direct_encoder(spark, tmp_path):
+    """snapshot file list → encode_files (manifest-driven direct-scan
+    encode, the north-rule input path)."""
+    import hashlib
+
+    from parquet_producers_spark.datagen import source_code_df
+    from parquet_producers_spark.encoder import decode_chunks, encode_files
+
+    t = str(tmp_path / "code_tbl")
+    src = (
+        source_code_df(spark, 400, seed=13, partitions=2)
+        .repartitionByRange(3, "repo", "path")
+        .sortWithinPartitions("repo", "path")
+    )
+    commit_snapshot(spark, src, t)
+    paths = [f["path"] for f in snapshot_files(t)]
+    decoded = decode_chunks(encode_files(spark, paths, key_col="repo"),
+                            ordered=False)
+
+    def digest(df):
+        h = hashlib.sha256()
+        for r in df.orderBy("repo", "path").collect():
+            h.update((r.repo + r.path + r.content).encode())
+        return h.hexdigest()
+
+    assert digest(decoded) == digest(read_snapshot(spark, t))
