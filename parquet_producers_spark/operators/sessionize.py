@@ -116,8 +116,16 @@ def sessionize_stream(
         if state.hasTimedOut:
             if state.exists:
                 start, last, n, total, sid = state.get
-                closed.append((user, sid, start, last, n, total))
-                state.remove()
+                if start is not None:
+                    closed.append((user, sid, start, last, n, total))
+                    # tombstone, NOT remove: the session ordinal must
+                    # keep counting if the user returns, or
+                    # (user, session_id) keys repeat
+                    state.update((None, None, 0, 0.0, sid))
+                    state.setTimeoutDuration(timeout_s * 1000)
+                else:
+                    # second quiet timeout: drop the tombstone
+                    state.remove()
         else:
             rows = pd.concat(list(pdfs), ignore_index=True)
             rows = rows.sort_values([ts_col]).reset_index(drop=True)
