@@ -125,8 +125,13 @@ class Pipeline:
         self,
         root_updates: dict[str, DataFrame],
         based_on: int | None = None,
+        validate: bool = False,
     ) -> int:
-        """Run one DAG-wide update transaction; returns the new version."""
+        """Run one DAG-wide update transaction; returns the new version.
+
+        ``validate=True`` enforces the update-stream contract (op 23:
+        per key one Delete or ≥1 upserts, never mixed) on every stage's
+        input before reconciling — fail fast on a malformed feed."""
         roots = list(root_updates)
         based_on = based_on if based_on is not None else max(
             (self.version(r) for r in roots), default=0
@@ -172,7 +177,8 @@ class Pipeline:
                 prev_mappings = self._table(name, prev_v, "mappings")
 
             content, mappings, updates_out = update_stage(
-                stage, prev_content, prev_mappings, updates_in
+                stage, prev_content, prev_mappings, updates_in,
+                validate=validate,
             )
             self._write(name, new_version, "content", content,
                         sort_cols=(stage.content_sort

@@ -107,3 +107,34 @@ def test_throttled_logger_drops_within_interval():
     t._last = float("-inf")  # window reopens
     t.info("fourth")
     assert emitted == ["first 1", "fourth"]
+
+
+def test_pipeline_validate_rejects_mixed_stream(spark, tmp_path):
+    """Pipeline.update(validate=True) fails fast on a feed mixing a
+    Delete with upserts for one key (op 23 at the DAG surface)."""
+    import pandas as pd
+    import pytest
+
+    from parquet_producers_spark.operators.produce import (
+        Stage,
+        UpdateContractViolation,
+    )
+    from parquet_producers_spark.plans.dag import Pipeline
+
+    def ident(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"id": [int(key[0])] * len(pdf),
+                             "text": pdf["text"]})
+
+    p = Pipeline(spark, str(tmp_path))
+    p.add(Stage("phrases", ["src_id"], ["id"], ["text"], ident,
+                "id int, text string"))
+    bad = spark.createDataFrame(
+        [("Add", 1, "x"), ("Delete", 1, None)],
+        "type string, src_id int, text string")
+    with pytest.raises(UpdateContractViolation):
+        p.update({"phrases": bad}, validate=True)
+    # the failed transaction committed nothing
+    assert p.version("phrases") == 0
+    good = spark.createDataFrame(
+        [("Add", 1, "x")], "type string, src_id int, text string")
+    assert p.update({"phrases": good}, validate=True) == 1
