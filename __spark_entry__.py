@@ -232,6 +232,46 @@ def q_repeat_buyers_intersect(spark, sf):
     return a.intersect(b)
 
 
+def q_semi_join_customers(spark, sf):
+    """Left-semi join as a first-class query (§2.2 set-op surface)."""
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+def q_except_buyers(spark, sf):
+    """EXCEPT (distinct) set op: open-order customers minus finished."""
+    o = _t(spark, sf, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.subtract(b)
+
+
+def q_props_json_extract(spark, sf):
+    """JSON scalar-function surface: extract props.k per event type."""
+    e = _t(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        e.groupBy("event_type")
+        .agg(F.round(F.avg(k), 4).alias("avg_k"),
+             F.max(k).alias("max_k"),
+             F.count(F.when(k > 50, 1)).alias("n_high"))
+    )
+
+
+def q_monthly_revenue(spark, sf):
+    """Date scalar-function surface: revenue by order year+month."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").alias("yr"),
+                  F.month("o_orderdate").alias("mo"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count("*").alias("n_orders"))
+    )
+
+
 def q_user_running_value(spark, sf):
     e = _t(spark, sf, "events")
     w = (
@@ -618,6 +658,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_top_events": q_salted_top_events,
         "customers_without_orders": q_customers_without_orders,
         "repeat_buyers_intersect": q_repeat_buyers_intersect,
+        "semi_join_customers": q_semi_join_customers,
+        "except_buyers": q_except_buyers,
+        "props_json_extract": q_props_json_extract,
+        "monthly_revenue": q_monthly_revenue,
         "user_running_value": q_user_running_value,
         "event_type_stats": q_event_type_stats,
         "sessionize": q_sessionize,
@@ -934,6 +978,34 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
 SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
 INTERSECT
 SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+    sql["semi_join_customers"] = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+    sql["except_buyers"] = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+    sql["props_json_extract"] = """
+SELECT event_type,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+       COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) > 50
+                  THEN 1 END) AS n_high
+FROM events GROUP BY event_type
+"""
+
+    sql["monthly_revenue"] = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+       CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY 1, 2
 """
 
     sql["user_running_value"] = """
