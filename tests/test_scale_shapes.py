@@ -211,3 +211,28 @@ def test_ivf_recall_and_determinism(spark, sf_dir):
     m1 = {r["__id"]: r["cl"] for r in a1.collect()}
     m2 = {r["__id"]: r["cl"] for r in a2.collect()}
     assert m1 == m2 and len(set(m1.values())) > 1
+
+
+def test_mega_repo_skew_splits_across_partitions(spark):
+    """North-rule skew handling: range partitioning on (repo, path)
+    splits a zipf mega-repo across partitions instead of funneling it
+    through one task (the partitioner defuses the skew; no single
+    partition holds a dominant share of the rows)."""
+    from parquet_producers_spark.datagen import source_code_df
+
+    src = source_code_df(spark, 20000, seed=21, partitions=8)
+    top = (src.groupBy("repo").count().orderBy(F.desc("count"))
+           .limit(1).collect()[0])
+    assert top["count"] > 20000 / 8  # the corpus IS skewed
+    parted = (
+        src.repartitionByRange(8, "repo", "path")
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    spread = (
+        parted.filter(F.col("repo") == top["repo"])
+        .select("__pid").distinct().count()
+    )
+    assert spread >= 2, f"mega-repo {top['repo']} landed in one partition"
+    sizes = [r["n"] for r in parted.groupBy("__pid")
+             .agg(F.count("*").alias("n")).collect()]
+    assert max(sizes) < 2.0 * (sum(sizes) / len(sizes))
