@@ -486,6 +486,18 @@ def q_embedding_ann_lsh(spark, sf):
     return lsh_ann_topk(e, probes, k=5, bits=4, n_tables=4)
 
 
+def q_dedup_embedding_pairs(spark, sf):
+    """Embedding-cosine near-dup pairs (mandated dedup method): exact
+    verifier on a bounded subset; the LSH/IVF buckets are the scale
+    path for candidate generation."""
+    from parquet_producers_spark.functions.similarity import (
+        embedding_near_pairs,
+    )
+
+    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 500)
+    return embedding_near_pairs(e, threshold=0.3)
+
+
 def q_embedding_ivf(spark, sf):
     """IVF ANN (the other mandated scale path next to LSH): coarse
     quantizer = deterministic mini k-means (init: smallest vec_ids,
@@ -681,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn": q_embedding_knn,
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "embedding_ivf": q_embedding_ivf,
+        "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,
@@ -1307,6 +1320,21 @@ FROM documents WHERE doc_id < 100
 
     sql["embedding_ann_lsh"] = _ann_lsh_sql(bits=4, n_tables=4, k=5)
     sql["embedding_ivf"] = _ivf_sql(n_centroids=8, iters=2, n_probe=2, k=5)
+
+    sql["dedup_embedding_pairs"] = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         (SELECT SUM(CAST(pa AS DOUBLE) * CAST(ca AS DOUBLE))
+          FROM (SELECT unnest(a.embedding) AS pa, unnest(b.embedding) AS ca))
+         / (SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                  FROM (SELECT unnest(a.embedding) AS x)))
+            * SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                    FROM (SELECT unnest(b.embedding) AS x)))) AS c
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT doc_a, doc_b, ROUND(c, 4) AS cosine FROM pairs WHERE c >= 0.3
+"""
 
     # codec_stats is engine-specific (rows-only)
     return sql

@@ -157,6 +157,29 @@ def ivf_topk(
     )
 
 
+def embedding_near_pairs(
+    corpus: DataFrame, threshold: float = 0.3,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (a < b, cosine ≥ threshold) —
+    the exact verifier (quadratic by design, like
+    :func:`dedup.jaccard_pairs` for shingles); at corpus scale the
+    candidates come from :func:`lsh_ann_topk`'s buckets or
+    :func:`ivf_topk`'s clusters and this runs per bucket. The threshold
+    compares the unrounded cosine; rounding only in the projection."""
+    a = corpus.select(F.col(id_col).alias("doc_a"),
+                      F.col(vec_col).alias("__va"))
+    b = corpus.select(F.col(id_col).alias("doc_b"),
+                      F.col(vec_col).alias("__vb"))
+    raw = _dot(F.col("__va"), F.col("__vb")) / (
+        _norm(F.col("__va")) * _norm(F.col("__vb")))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(raw >= threshold)
+        .select("doc_a", "doc_b", F.round(raw, 4).alias("cosine"))
+    )
+
+
 def hyperplanes(dim: int, bits: int, seed: int = 7) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes in [-1, 1]."""
     idx = np.arange(bits * dim, dtype=np.uint64) + np.uint64(seed * 1_000_003)
