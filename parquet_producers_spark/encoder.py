@@ -204,6 +204,7 @@ def encode_files(
     cascade: bool = False,
     profile: str = "size",
     key_col: str | None = None,
+    n_tasks: int | None = None,
 ) -> DataFrame:
     """Direct-scan encode of pre-sorted parquet files: each task reads
     its file with Arrow C++ inside the Python worker and encodes it —
@@ -229,11 +230,16 @@ def encode_files(
     # driver, so 64 one-file tasks burn 0.8 s of pure scheduling. On a
     # real cluster raise n_tasks for elasticity/straggler coverage.
     # createDataFrame from pandas splits into defaultParallelism
-    # contiguous slices — the task list needs no shuffle stage
+    # contiguous slices — the task list needs no shuffle stage. Local
+    # mode wants tasks == cores (python task round-trips cost ~10 ms
+    # each, serialized on the driver); a cluster raises n_tasks for
+    # elasticity / straggler coverage.
     fdf = spark.createDataFrame(
         pd.DataFrame({"part_id": range(len(files)), "path": files}),
         schema="part_id int, path string",
     )
+    if n_tasks:
+        fdf = fdf.repartition(min(n_tasks, len(files)), "part_id")
 
     def enc(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.parquet as pq
