@@ -375,6 +375,40 @@ def q_codec_stats(spark, sf):
     )
 
 
+def q_codec_pruned_scan(spark, sf):
+    """Query ON the encoded format: encode documents sorted by a
+    width-padded doc key (zone maps are string-ordered, so the key is
+    zero-padded to make lexicographic == numeric), zone-map-prune to
+    the requested key range — pruned chunks' blobs are never decoded —
+    then decode survivors, apply the exact filter and aggregate.
+    Oracle: the same aggregate over the raw table."""
+    from parquet_producers_spark.encoder import (
+        decode_chunks,
+        encode_partitions,
+        prune_chunks,
+        project_chunks,
+    )
+
+    _ensure_pkg(spark)
+    d = _t(spark, sf, "documents").select(
+        F.format_string("%08d", F.col("doc_id")).alias("dockey"),
+        "doc_id", "lang", "n_chars",
+    )
+    chunks = encode_partitions(d, sort_cols=["dockey"], partitions=8,
+                               chunk_rows=64)
+    pruned = prune_chunks(chunks, key_lo="00000100", key_hi="00000299")
+    pruned = project_chunks(pruned, ["dockey", "doc_id", "lang", "n_chars"])
+    decoded = decode_chunks(pruned, ordered=False)
+    return (
+        decoded.filter((F.col("doc_id") >= 100) & (F.col("doc_id") <= 299))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"),
+             F.min("doc_id").alias("min_doc"),
+             F.max("doc_id").alias("max_doc"))
+    )
+
+
 def q_dedup_exact(spark, sf):
     d = _t(spark, sf, "documents")
     return d.agg(
@@ -682,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "producer_wordcount": q_producer_wordcount,
         "codec_roundtrip_sha": q_codec_roundtrip_sha,
         "codec_stats": q_codec_stats,
+        "codec_pruned_scan": q_codec_pruned_scan,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
@@ -1065,6 +1100,13 @@ GROUP BY word
 
     sql["codec_roundtrip_sha"] = """
 SELECT doc_id, sha256(text) AS text_sha FROM documents
+"""
+
+    sql["codec_pruned_scan"] = """
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM documents WHERE doc_id BETWEEN 100 AND 299
+GROUP BY lang
 """
 
     sql["dedup_exact"] = """
