@@ -361,17 +361,21 @@ def q_codec_roundtrip_sha(spark, sf):
 
 
 def q_codec_stats(spark, sf):
-    """Rows-only: per-codec encoded size of the documents table."""
+    """Oracle-checkable codec-layer invariants: per encoded column,
+    the chunk manifests must account for every source row exactly once
+    (sum(n_rows) == COUNT(*) of documents) and the encoded bytes must
+    not exceed raw bytes. Encoded byte counts themselves are
+    engine-specific, so the oracle checks the invariant form."""
     from parquet_producers_spark.encoder import encode_partitions
 
     _ensure_pkg(spark)
     docs = _t(spark, sf, "documents")
     chunks = encode_partitions(docs, sort_cols=["doc_id"], partitions=4)
     return (
-        chunks.groupBy("column", "codec")
-        .agg(F.count("*").alias("chunks"),
-             F.sum("raw_bytes").alias("raw_bytes"),
-             F.sum("enc_bytes").alias("enc_bytes"))
+        chunks.groupBy("column")
+        .agg(F.sum("n_rows").alias("total_rows"),
+             (F.sum("enc_bytes") <= F.sum("raw_bytes"))
+             .cast("int").alias("compressed"))
     )
 
 
@@ -611,7 +615,12 @@ def q_multimodal_frames(spark, sf):
 
     _ensure_pkg(spark)
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
-    return sample_frames(synthesize_media(d), frame_bytes=64, every=2)
+    frames = sample_frames(synthesize_media(d), frame_bytes=64, every=2)
+    # Never return a raw binary column from a queries() entry: the
+    # driver canonicalizer factorizes values via pandas, and Spark's
+    # toPandas yields unhashable bytearray. Hex it (uppercase on both
+    # engines); frame_md5 already pins the content byte-for-byte.
+    return frames.withColumn("frame", F.hex(F.col("frame")))
 
 
 def q_multimodal_resize(spark, sf):
@@ -1103,7 +1112,7 @@ SELECT doc_id, sha256(text) AS text_sha FROM documents
 """
 
     sql["codec_pruned_scan"] = """
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
 FROM documents WHERE doc_id BETWEEN 100 AND 299
 GROUP BY lang
@@ -1341,7 +1350,7 @@ WITH frames AS (
   WHERE doc_id < 100
 )
 SELECT doc_id, media_type, CAST(frame_idx AS INT) AS frame_idx,
-       encode(fr) AS frame, length(fr) AS frame_len, md5(fr) AS frame_md5
+       hex(encode(fr)) AS frame, length(fr) AS frame_len, md5(fr) AS frame_md5
 FROM frames
 """
 
@@ -1378,5 +1387,12 @@ pairs AS (
 SELECT doc_a, doc_b, ROUND(c, 4) AS cosine FROM pairs WHERE c >= 0.3
 """
 
-    # codec_stats is engine-specific (rows-only)
+    # codec-layer invariant: every encoded column accounts for every
+    # source row exactly once, and encoding never inflates the bytes
+    sql["codec_stats"] = """
+SELECT col AS "column",
+       (SELECT COUNT(*) FROM documents) AS total_rows,
+       1 AS compressed
+FROM (VALUES ('doc_id'), ('text'), ('lang'), ('source'), ('n_chars')) t(col)
+"""
     return sql
