@@ -71,6 +71,12 @@ class LocalStore(FileStore):
             return f.read()
 
     def write_bytes_atomic(self, path: str, data: bytes) -> None:
+        if not data:
+            # reference IPersistentStreams.cs:14-17: uploading empty
+            # content DELETES the blob — an absent blob and an empty
+            # stream are the same thing to readers
+            self.delete(path)
+            return
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
@@ -100,6 +106,7 @@ class HadoopStore(FileStore):
 
     def __init__(self, spark):
         self._jvm = spark._jvm
+        self._gateway = spark.sparkContext._gateway
         self._conf = spark._jsc.hadoopConfiguration()
 
     def _path(self, p: str):
@@ -127,6 +134,11 @@ class HadoopStore(FileStore):
         return bytes(data)
 
     def write_bytes_atomic(self, path: str, data: bytes) -> None:
+        if not data:
+            # reference IPersistentStreams.cs:14-17: empty upload ==
+            # delete the blob (see LocalStore)
+            self.delete(path)
+            return
         fs = self._fs(path)
         tmp, dest = self._path(path + ".tmp"), self._path(path)
         out = fs.create(tmp, True)  # create() makes parent dirs
@@ -134,10 +146,26 @@ class HadoopStore(FileStore):
             out.write(bytearray(data))
         finally:
             out.close()
-        if fs.exists(dest):
-            fs.delete(dest, False)
-        if not fs.rename(tmp, dest):
-            raise IOError(f"rename {tmp} -> {dest} failed")
+        try:
+            # FileContext.rename(OVERWRITE): atomic replace — no window
+            # where the destination is absent, so a reader always sees
+            # either the old or the new manifest, never neither
+            fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                dest.toUri(), self._conf)
+            rename_enum = self._jvm.org.apache.hadoop.fs.Options.Rename
+            opts = self._gateway.new_array(rename_enum, 1)
+            opts[0] = rename_enum.OVERWRITE
+            fc.rename(tmp, dest, opts)
+        except Exception:
+            # filesystems without a FileContext implementation: fall
+            # back to delete+rename. The absence window is tolerable
+            # because manifests are write-once per version; a same-path
+            # rewrite only happens on crash-resume, where the only
+            # reader is the resuming driver itself.
+            if fs.exists(dest):
+                fs.delete(dest, False)
+            if not fs.rename(tmp, dest):
+                raise IOError(f"rename {tmp} -> {dest} failed")
 
     def delete(self, path: str, recursive: bool = False) -> None:
         fs, p = self._fs(path), self._path(path)

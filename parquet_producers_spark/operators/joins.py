@@ -99,7 +99,13 @@ def range_join_binned(
         right.join(F.broadcast(lrange))
         .withColumn(
             "__bins",
-            F.when(start <= stop, F.sequence(start, stop))
+            # the null check is load-bearing: on an EMPTY left side
+            # __lmin/__lmax are null and greatest/least skip nulls, so
+            # without it the clamp silently reverts to the unclamped
+            # explode — the ~20M-element-array hazard this clamp exists
+            # to prevent (the join result is empty either way)
+            F.when(F.col("__lmin").isNotNull() & (start <= stop),
+                   F.sequence(start, stop))
             .otherwise(F.array().cast("array<long>")),
         )
         .withColumn("__bin", F.explode("__bins"))

@@ -257,8 +257,16 @@ def update_stage(
     upd_keys = updates.select(*sk).distinct()
     upserts = updates.filter(F.col(UPDATE_TYPE) != "Delete")
 
-    # Phase 1 — instructions (reference ParquetProduction.cs:279-374)
-    produced = run_produce(stage, upserts)          # upsert instructions
+    # Phase 1 — instructions (reference ParquetProduction.cs:279-374).
+    # The produce UDF is the dominant cost of a wave and its result
+    # feeds content AND mappings AND updates-out — three separate write
+    # actions downstream (Pipeline.update). Spark does not reuse
+    # exchanges across jobs, so without a checkpoint the UDF would
+    # re-execute once per write (3-4× the wave cost at scale). Lazy
+    # localCheckpoint: first materialization computes + stores, later
+    # jobs reuse the stored blocks; blocks are freed when the frame is
+    # GC'd after the wave.
+    produced = run_produce(stage, upserts).localCheckpoint(eager=False)
     deletions = prev_mappings.join(upd_keys, sk, "inner").select(*sk, *tk)
 
     # Phase 2 — reconcile (reference :376-453 mappings, :463-704 content)
@@ -270,10 +278,18 @@ def update_stage(
     retained = prev_content.join(touched_pairs, pair_cols, "left_anti")
 
     produced_final = (
+        # preserve adds windows/joins over prev_content on top of the
+        # checkpointed produce — itself reused by content + CDC, so pin it
         _apply_preserve(stage, produced, prev_content)
+        .localCheckpoint(eager=False)
         if stage.has_preserve else produced
     )
-    content = retained.unionByName(produced_final.select(*stage.content_cols))
+    # content feeds its own write AND the delete-suppression scan of the
+    # updates-out write (survivor_tks below) — same reuse argument
+    content = (
+        retained.unionByName(produced_final.select(*stage.content_cols))
+        .localCheckpoint(eager=False)
+    )
 
     # one mapping row per produced row — duplicates intentional, matching
     # the reference (ParquetProductionTests.cs:224-229 asserts (1,1)×3)
@@ -327,7 +343,10 @@ def bootstrap_stage(
     IS the produced set and every first-row-per-TK is an Add."""
     sk, tk = stage.sk_cols, stage.tk_cols
     upserts = updates.filter(F.col(UPDATE_TYPE) != "Delete")
-    produced = run_produce(stage, upserts)
+    # content/mappings/updates-out are three downstream write actions
+    # over this one frame — checkpoint so produce runs once (see
+    # update_stage for the full argument)
+    produced = run_produce(stage, upserts).localCheckpoint(eager=False)
     if stage.has_preserve:
         prev_content, _ = empty_state(spark, stage, updates)
         produced = _apply_preserve(stage, produced, prev_content)
@@ -362,9 +381,13 @@ def _global_rank(df: DataFrame, key_cols: list[str],
         df.repartitionByRange(n, *key_cols)
         .sortWithinPartitions(*key_cols)
         .withColumn("__pid", F.spark_partition_id())
-        # persist pins the partition boundaries: the counts job and the
-        # rank job must see the identical partitioning
-        .persist()
+        # eager localCheckpoint pins the partitioned DATA: the counts
+        # job and the rank job must see the identical partitioning, and
+        # a mere persist() could silently recompute (resampling the
+        # range boundaries) after executor loss — checkpointed blocks
+        # either survive or fail the job, never skew it. Blocks are
+        # freed when the frame is GC'd (no cross-wave cache leak).
+        .localCheckpoint(eager=True)
     )
     counts = {
         r["__pid"]: r["n"]

@@ -103,14 +103,33 @@ def sessionize_stream(
     opens a new one. A processing-time timeout flushes the open session
     when the user goes quiet — the streaming analogue of end-of-input.
     """
-    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
-    from pyspark.sql.streaming.state import (
-        GroupState,
-        GroupStateTimeout,
+    update = make_session_update(gap_s=gap_s, ts_col=ts_col,
+                                 value_col=value_col, timeout_s=timeout_s)
+
+    return (
+        stream_df.groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=("start timestamp, last timestamp, n long,"
+                             " total double, sid int"),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
     )
 
-    def update(key, pdfs, state: GroupState):
+
+def make_session_update(gap_s: int, ts_col: str, value_col: str,
+                        timeout_s: int):
+    """The per-key state-update function of :func:`sessionize_stream`,
+    exposed at module scope so the session-ordinal invariant ("(user,
+    session_id) keys never repeat, across any number of quiet-timeout
+    flushes") is unit-testable against a fake GroupState."""
+    import pandas as pd
+
+    def update(key, pdfs, state):
         (user,) = key
         closed: list[tuple] = []
         if state.hasTimedOut:
@@ -120,12 +139,13 @@ def sessionize_stream(
                     closed.append((user, sid, start, last, n, total))
                     # tombstone, NOT remove: the session ordinal must
                     # keep counting if the user returns, or
-                    # (user, session_id) keys repeat
+                    # (user, session_id) keys repeat. The tombstone is
+                    # PERMANENT — no new timeout is armed, so it never
+                    # times out again and is never dropped (a returning
+                    # user after any number of quiet periods continues
+                    # from sid, not 0). Cost: one (ts,ts,long,double,int)
+                    # row per ever-seen user in the state store.
                     state.update((None, None, 0, 0.0, sid))
-                    state.setTimeoutDuration(timeout_s * 1000)
-                else:
-                    # second quiet timeout: drop the tombstone
-                    state.remove()
         else:
             rows = pd.concat(list(pdfs), ignore_index=True)
             rows = rows.sort_values([ts_col]).reset_index(drop=True)
@@ -154,14 +174,4 @@ def sessionize_stream(
                          "session_end", "n_events", "total_value"],
             )
 
-    return (
-        stream_df.groupBy(user_col)
-        .applyInPandasWithState(
-            update,
-            outputStructType=SESSION_SCHEMA,
-            stateStructType=("start timestamp, last timestamp, n long,"
-                             " total double, sid int"),
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
-        )
-    )
+    return update

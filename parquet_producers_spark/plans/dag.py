@@ -23,7 +23,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..filestore import FileStore, LocalStore
 from ..operators.multisource import feeder_view, read_sources
-from ..operators.produce import Stage, empty_state, update_stage
+from ..operators.produce import (
+    Stage,
+    empty_state,
+    update_stage,
+    validate_updates,
+)
 from ..storage import atomic_write_json, list_versions, stage_dir
 from ..util import ThrottledLogger
 
@@ -65,19 +70,28 @@ class Pipeline:
         return self._table(name, version, "updates")
 
     def version(self, name: str) -> int:
-        """Latest COMPLETE version: a crash mid-transaction leaves a
-        partial ``v=N+1`` (some tables missing / no _SUCCESS); those are
-        ignored, so a re-run of the same wave resumes from the last
-        committed version and overwrites the partial output."""
+        """Latest COMMITTED version. Two-level commit protocol:
+
+        * per stage, all three tables must have ``_SUCCESS`` (a crash
+          mid-stage leaves a partial ``v=N+1`` — invisible, overwritten
+          by the re-run);
+        * the whole transaction becomes visible only when the single
+          atomically-renamed ``_txn/v=N.json`` manifest exists — so a
+          crash AFTER some stages committed their tables but before the
+          DAG finished leaves NO stage advanced (reference: the DAG
+          update is one transaction, README.md:182)."""
         vs = list_versions(self.root, name, store=self.store)
         for v in reversed(vs):
-            if all(
+            if self.store.exists(self._txn_path(v)) and all(
                 self.store.exists(posixpath.join(
                     stage_dir(self.root, name, v, t), "_SUCCESS"))
                 for t in ("content", "mappings", "updates")
             ):
                 return v
         return 0
+
+    def _txn_path(self, version: int) -> str:
+        return posixpath.join(self.root, f"_txn/v={version}.json")
 
     def _write(self, name: str, version: int, table: str, df: DataFrame,
                sort_cols: list | None = None) -> None:
@@ -133,6 +147,12 @@ class Pipeline:
         per key one Delete or ≥1 upserts, never mixed) on every stage's
         input before reconciling — fail fast on a malformed feed."""
         roots = list(root_updates)
+        if validate:
+            # fail fast BEFORE any write: a malformed root feed must
+            # leave every stage untouched, not just the ones after the
+            # violating stage in topo order
+            for r in roots:
+                validate_updates(root_updates[r], self.nodes[r].stage.sk_cols)
         based_on = based_on if based_on is not None else max(
             (self.version(r) for r in roots), default=0
         )
@@ -178,7 +198,10 @@ class Pipeline:
 
             content, mappings, updates_out = update_stage(
                 stage, prev_content, prev_mappings, updates_in,
-                validate=validate,
+                # root feeds were validated up front; derived feeds are
+                # still checked (defensive — they should satisfy the
+                # contract by construction)
+                validate=validate and name not in root_updates,
             )
             self._write(name, new_version, "content", content,
                         sort_cols=(stage.content_sort
@@ -191,8 +214,11 @@ class Pipeline:
             self.log.info("stage %s v%d done in %.3fs", name, new_version,
                           timings[name])
 
+        # COMMIT POINT: the atomic rename of this manifest is what makes
+        # every stage's v=N+1 visible to version() — before it, a crash
+        # leaves the transaction entirely uncommitted
         atomic_write_json(
-            posixpath.join(self.root, f"_txn/v={new_version}.json"),
+            self._txn_path(new_version),
             {"version": new_version, "based_on": based_on,
              "stages": order, "timings_s": timings},
             store=self.store,

@@ -142,3 +142,58 @@ def test_local_store_matches_hadoop_store(spark, tmp_path):
     assert hadoop.read_json(f"file://{lp}") == {"k": 1}
     assert sorted(local.listdir(str(tmp_path / "a"))) == \
         sorted(hadoop.listdir(f"file://{tmp_path}/a"))
+
+
+def test_empty_upload_deletes_blob(spark, tmp_path):
+    """Reference IPersistentStreams.cs:14-17: uploading empty content
+    deletes the blob — absent blob == empty stream. Both stores."""
+    local = LocalStore()
+    p1 = str(tmp_path / "a" / "m.json")
+    local.write_bytes_atomic(p1, b"x")
+    assert local.exists(p1)
+    local.write_bytes_atomic(p1, b"")
+    assert not local.exists(p1)
+    local.write_bytes_atomic(p1, b"")  # idempotent on absent blob
+
+    hadoop = HadoopStore(spark)
+    p2 = f"file://{tmp_path}/b/m.json"
+    hadoop.write_bytes_atomic(p2, b"x")
+    assert hadoop.exists(p2)
+    hadoop.write_bytes_atomic(p2, b"")
+    assert not hadoop.exists(p2)
+    hadoop.write_bytes_atomic(p2, b"")
+
+
+def test_wave_emptying_stage_leaves_no_stale_rows(spark, tmp_path):
+    """A wave that deletes every source key empties the stage's content;
+    the new version's content dir must carry zero data rows (no stale
+    part files from the produce of earlier versions)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from parquet_producers_spark.operators.produce import Stage
+    from parquet_producers_spark.plans.dag import Pipeline
+    from parquet_producers_spark.storage import stage_dir
+
+    def identity(key, pdf):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"id": [int(key[0])] * len(pdf), "text": pdf["text"]})
+
+    p = Pipeline(spark, str(tmp_path / "dag"))
+    p.add(Stage("docs", ["src_id"], ["id"], ["text"], identity,
+                "id int, text string"))
+    p.update({"docs": spark.createDataFrame(
+        [("Add", 1, "hello")], "type string, src_id int, text string")})
+    v = p.update({"docs": spark.createDataFrame(
+        [("Delete", 1, None)], "type string, src_id int, text string")})
+    assert p.content("docs", v).count() == 0
+    cdir = stage_dir(str(tmp_path / "dag"), "docs", v, "content")
+    data_rows = sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(f"{cdir}/*.parquet"))
+    assert data_rows == 0
+    # the CDC stream announced the delete downstream
+    assert [r.type for r in p.updates_out("docs", v).collect()] == ["Delete"]

@@ -236,3 +236,16 @@ def test_mega_repo_skew_splits_across_partitions(spark):
     sizes = [r["n"] for r in parted.groupBy("__pid")
              .agg(F.count("*").alias("n")).collect()]
     assert max(sizes) < 2.0 * (sum(sizes) / len(sizes))
+
+
+def test_range_join_empty_left_skips_explode(spark):
+    """Empty left side: __lmin/__lmax are null and greatest/least skip
+    nulls — the guard must short-circuit the bin explode instead of
+    materializing the unclamped open-ended interval (here ~1e12 bins,
+    which would throw/OOM on the sequence build)."""
+    from parquet_producers_spark.operators.joins import range_join_binned
+
+    left = spark.createDataFrame([], "v double")
+    right = spark.createDataFrame([(0.0, 1.0e12)], "lo double, hi double")
+    out = range_join_binned(left, right, "v", "lo", "hi", bin_width=1.0)
+    assert out.count() == 0

@@ -132,3 +132,73 @@ def test_sessionize_stream_matches_batch(spark, tmp_path, sf_dir):
                    if k[1] != last_sid[k[0]]}
     assert got == want_closed
     assert len(got) > 10
+
+
+class _FakeGroupState:
+    """Minimal GroupState stand-in for unit-testing the session update
+    function without a streaming query / processing-time timers."""
+
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+        self.removed = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+    def remove(self):
+        self._v = None
+        self.removed = True
+
+
+def test_session_ordinals_never_repeat_across_timeouts():
+    """A user returning after ANY number of quiet-timeout flushes must
+    continue from their last session ordinal — the tombstone is
+    permanent, so (user_id, session_id) output keys never repeat."""
+    from datetime import datetime, timedelta
+
+    from parquet_producers_spark.operators.sessionize import (
+        make_session_update,
+    )
+
+    gap = 1800
+    upd = make_session_update(gap_s=gap, ts_col="ts", value_col="value",
+                              timeout_s=3600)
+    state = _FakeGroupState()
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+
+    def feed(events):
+        pdf = pd.DataFrame({"ts": [e[0] for e in events],
+                            "value": [e[1] for e in events]})
+        return list(upd((1,), iter([pdf]), state))
+
+    def fire_timeout():
+        state.hasTimedOut = True
+        out = list(upd((1,), iter([]), state))
+        state.hasTimedOut = False
+        return out
+
+    emitted = []
+    feed([(t0, 1.0), (t0 + timedelta(seconds=10), 2.0)])
+    emitted += fire_timeout()          # flushes session 1
+    emitted += fire_timeout()          # second quiet timeout: no-op
+    assert not state.removed and state.exists  # tombstone survives
+    # user returns: new session, then a gap closes it in-batch
+    emitted += feed([(t0 + timedelta(days=1), 3.0),
+                     (t0 + timedelta(days=1, seconds=2 * gap), 4.0)])
+    emitted += fire_timeout()          # flushes the last open session
+
+    sids = [int(s) for df in emitted for s in df["session_id"]]
+    assert sids == [1, 2, 3]           # monotone, no repeats, no reset
+    assert not state.removed

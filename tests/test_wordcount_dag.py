@@ -229,3 +229,114 @@ def test_stage_added_later_reconciles_from_own_state(spark, tmp_path):
         [("Update", 1, "five six")], "type string, src_id int, text string")})
     assert sorted(r.word for r in p.content("ids_by_word", v4).collect()) == [
         "five", "four", "six"]
+
+
+def _make_counting_produce(counter_dir: str):
+    """A produce fn that appends one line per invocation to a shared
+    file — python workers are local processes in tests, so the line
+    count across all of them is the true invocation count."""
+    import os
+
+    path = os.path.join(counter_dir, "calls.log")
+
+    def produce(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        fd = os.open(path, os.O_WRONLY | os.O_APPEND | os.O_CREAT)
+        try:
+            os.write(fd, f"{key[0]}\n".encode())
+        finally:
+            os.close(fd)
+        return pd.DataFrame(
+            {"id": [int(key[0])] * len(pdf), "text": pdf["text"]})
+
+    return produce, path
+
+
+def test_produce_runs_once_per_wave(spark, tmp_path):
+    """The three table writes of a wave (content/mappings/updates) share
+    the produce lineage; the localCheckpoint in update_stage must make
+    the produce fn execute exactly once per source key per wave — not
+    once per write action (the 3-4x recompute scale-killer)."""
+    import os
+
+    counter_dir = str(tmp_path / "counter")
+    os.makedirs(counter_dir)
+    produce, log_path = _make_counting_produce(counter_dir)
+
+    p = Pipeline(spark, str(tmp_path / "root"))
+    p.add(Stage("phrases", ["src_id"], ["id"], ["text"], produce,
+                "id int, text string"))
+    p.update({"phrases": spark.createDataFrame(
+        [("Add", 1, "one"), ("Add", 2, "two"), ("Add", 3, "three")],
+        "type string, src_id int, text string")})
+    with open(log_path) as f:
+        calls = f.read().splitlines()
+    assert sorted(calls) == ["1", "2", "3"]  # one per key, not 3x
+
+    # second wave (non-bootstrap path: prev state exists)
+    os.unlink(log_path)
+    p.update({"phrases": spark.createDataFrame(
+        [("Update", 2, "two-b")], "type string, src_id int, text string")})
+    with open(log_path) as f:
+        calls = f.read().splitlines()
+    assert calls == ["2"]
+
+
+def test_failed_transaction_commits_nothing_daglevel(spark, tmp_path):
+    """A crash AFTER an upstream stage wrote its v=N+1 tables but before
+    the DAG finished must leave EVERY stage at version N: visibility is
+    gated on the single atomically-renamed _txn manifest."""
+
+    def boom(key, pdf):
+        raise RuntimeError("downstream stage exploded")
+
+    p = Pipeline(spark, str(tmp_path))
+    p.add(Stage("phrases", ["src_id"], ["id"], ["text"], _identity,
+                "id int, text string"))
+    p.add(Stage("ids_by_word", ["id"], ["word"], ["val_id"], _split_words,
+                "word string, val_id int"), sources=["phrases"])
+    p.update({"phrases": spark.createDataFrame(
+        [("Add", 1, "one two")], "type string, src_id int, text string")})
+    assert p.version("phrases") == 1 and p.version("ids_by_word") == 1
+
+    p.nodes["ids_by_word"].stage.produce = boom
+    with pytest.raises(Exception):
+        p.update({"phrases": spark.createDataFrame(
+            [("Add", 2, "three")], "type string, src_id int, text string")})
+    # phrases' v=2 tables may exist on disk with _SUCCESS — but with no
+    # txn manifest the version must not have advanced for ANY stage
+    assert p.version("phrases") == 1
+    assert p.version("ids_by_word") == 1
+
+    # the re-run of the same wave overwrites the orphaned partials
+    p.nodes["ids_by_word"].stage.produce = _split_words
+    v = p.update({"phrases": spark.createDataFrame(
+        [("Add", 2, "three")], "type string, src_id int, text string")})
+    assert v == 2
+    assert sorted(r.word for r in p.content("ids_by_word", 2).collect()) == [
+        "one", "three", "two"]
+
+
+def test_validate_runs_before_any_write(spark, tmp_path):
+    """validate=True must reject a malformed root feed BEFORE any stage
+    writes — a violation in the second root must not leave the first
+    root committed (or even written) at v=N+1."""
+    import os
+
+    from parquet_producers_spark.operators.produce import (
+        UpdateContractViolation,
+    )
+
+    p = Pipeline(spark, str(tmp_path))
+    p.add(Stage("phrases", ["src_id"], ["id"], ["text"], _identity,
+                "id int, text string"))
+    p.add(Stage("books", ["src_id"], ["id"], ["text"], _identity,
+                "id int, text string"))
+    good = spark.createDataFrame(
+        [("Add", 1, "fine")], "type string, src_id int, text string")
+    bad = spark.createDataFrame(  # Delete mixed with an upsert: violation
+        [("Delete", 7, None), ("Add", 7, "mixed")],
+        "type string, src_id int, text string")
+    with pytest.raises(UpdateContractViolation):
+        p.update({"phrases": good, "books": bad}, validate=True)
+    assert p.version("phrases") == 0 and p.version("books") == 0
+    assert not os.path.exists(str(tmp_path / "phrases"))
