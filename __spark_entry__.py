@@ -536,6 +536,24 @@ def q_dedup_embedding_pairs(spark, sf):
     return embedding_near_pairs(e, threshold=0.3)
 
 
+def q_dedup_embedding_pairs_bucketed(spark, sf):
+    """The SCALE path for embedding near-dup pairs: candidates from LSH
+    bucket co-membership (16 tables × 4 bits, Hamming-1 probe, single
+    signature scan), exact cosine only on candidates — no cartesian
+    (plan-asserted in tests/test_scale_shapes.py). Oracle = the
+    brute-force all-pairs SQL: at these wide params the bucketed result
+    equals brute force on the gate data (recall 1.0, pinned by pytest);
+    at real near-dup thresholds the same operator prunes hard with far
+    fewer tables."""
+    from parquet_producers_spark.functions.similarity import (
+        embedding_near_pairs_bucketed,
+    )
+
+    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 500)
+    return embedding_near_pairs_bucketed(
+        e, threshold=0.3, bits=4, n_tables=16)
+
+
 def q_embedding_ivf(spark, sf):
     """IVF ANN (the other mandated scale path next to LSH): coarse
     quantizer = deterministic mini k-means (init: smallest vec_ids,
@@ -738,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "embedding_ivf": q_embedding_ivf,
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
+        "dedup_embedding_pairs_bucketed": q_dedup_embedding_pairs_bucketed,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,
@@ -1386,6 +1405,10 @@ pairs AS (
 )
 SELECT doc_a, doc_b, ROUND(c, 4) AS cosine FROM pairs WHERE c >= 0.3
 """
+
+    # the bucketed finder must EQUAL brute force at the query's params
+    # (recall 1.0 on the gate data) — same oracle by design
+    sql["dedup_embedding_pairs_bucketed"] = sql["dedup_embedding_pairs"]
 
     # codec-layer invariant: every encoded column accounts for every
     # source row exactly once, and encoding never inflates the bytes

@@ -83,31 +83,45 @@ def ivf_assign(
     Init = the vectors with the ``n_centroids`` smallest ids (fixed,
     reproducible in SQL); ``iters`` Lloyd rounds of assign-to-nearest
     (squared L2, ties by centroid id) + elementwise-mean update.
-    Returns ``(centroids(cl, cvec), assignment(id, cl, vec))``. The
-    centroid set is tiny and broadcast; each round is one crossJoin +
-    one groupBy — at 100 TB the assignment is a stored table and the
-    rounds run once at index-build time, not per query.
+    Returns ``(centroids(cl, cvec), assignment(id, cl, vec))``.
+
+    Assignment is a per-row argmin over the centroid set embedded as an
+    array of struct literals — NO row amplification: a crossJoin +
+    window would blow the corpus up ×n_centroids (full embedding
+    duplicated per candidate) before the top-1, i.e. +800% shuffle
+    bytes per Lloyd round at 100 TB. Centroids are collected per round
+    (n_centroids × dim doubles — driver-bounded, same small side the
+    old broadcast shipped) which also truncates the iterative lineage.
     """
-    from pyspark.sql import Window
+    def _collect_cents(df) -> list[tuple[int, list[float]]]:
+        return [(int(r["cl"]), [float(x) for x in r["cvec"]])
+                for r in df.collect()]
 
-    cents = corpus.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cl"), F.col(vec_col).alias("cvec"))
+    def _best_cl(cent_rows):
+        # array_min over struct(dist, cl): struct ordering = min dist,
+        # ties by centroid id — identical semantics to the SQL oracle's
+        # ORDER BY dist, cl LIMIT 1
+        arr = F.array(*[
+            F.struct(
+                _sq_l2(F.col("__vec"), F.array(*[F.lit(x) for x in cvec])
+                       ).alias("dist"),
+                F.lit(cl).alias("cl"),
+            )
+            for cl, cvec in cent_rows
+        ])
+        return F.array_min(arr)["cl"]
 
-    def assign(cents_df):
-        scored = corpus.select(
+    def assign(cent_rows):
+        return corpus.select(
             F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
-        ).crossJoin(F.broadcast(cents_df)).withColumn(
-            "__dist", _sq_l2(F.col("__vec"), F.col("cvec")))
-        w = Window.partitionBy("__id").orderBy("__dist", "cl")
-        return (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("__id", "cl", "__vec")
-        )
+        ).withColumn("cl", _best_cl(cent_rows)).select("__id", "cl", "__vec")
 
+    cent_rows = _collect_cents(
+        corpus.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cl"), F.col(vec_col).alias("cvec")))
     for _ in range(iters):
-        best = assign(cents)
-        cents = (
+        best = assign(cent_rows)
+        cent_rows = _collect_cents(
             best.select("cl", F.posexplode("__vec").alias("dim", "x"))
             .groupBy("cl", "dim")
             .agg(F.avg(F.col("x").cast("double")).alias("w"))
@@ -115,7 +129,11 @@ def ivf_assign(
             .agg(F.array_sort(F.collect_list(F.struct("dim", "w"))).alias("s"))
             .select("cl", F.transform("s", lambda t: t["w"]).alias("cvec"))
         )
-    return cents, assign(cents)
+    spark = corpus.sparkSession
+    cents = spark.createDataFrame(
+        [(cl, cvec) for cl, cvec in cent_rows],
+        "cl bigint, cvec array<double>")
+    return cents, assign(cent_rows)
 
 
 def ivf_topk(
@@ -136,13 +154,22 @@ def ivf_topk(
                         F.col("cl"), F.col("__vec").alias("nbr_vec"))
     p = probes.select(F.col(id_col).alias("probe_id"),
                       F.col(vec_col).alias("probe_vec"))
-    pw = Window.partitionBy("probe_id").orderBy("__dist", "cl")
+    # n_probe nearest clusters per probe, amplification-free like
+    # ivf_assign: sort the literal centroid array by (dist, cl), slice
+    # n_probe, explode — fan-out ×n_probe, not ×n_centroids
+    cent_rows = [(int(r["cl"]), [float(x) for x in r["cvec"]])
+                 for r in cents.collect()]
+    scored_arr = F.sort_array(F.array(*[
+        F.struct(
+            _sq_l2(F.col("probe_vec"), F.array(*[F.lit(x) for x in cvec])
+                   ).alias("dist"),
+            F.lit(cl).alias("cl"),
+        )
+        for cl, cvec in cent_rows
+    ]))
     probe_cl = (
-        p.crossJoin(F.broadcast(cents))
-        .withColumn("__dist", _sq_l2(F.col("probe_vec"), F.col("cvec")))
-        .withColumn("__rn", F.row_number().over(pw))
-        .filter(F.col("__rn") <= n_probe)
-        .select("probe_id", "probe_vec", "cl")
+        p.withColumn("__e", F.explode(F.slice(scored_arr, 1, n_probe)))
+        .select("probe_id", "probe_vec", F.col("__e.cl").alias("cl"))
     )
     joined = (
         probe_cl.join(inv, "cl")
@@ -175,6 +202,74 @@ def embedding_near_pairs(
         _norm(F.col("__va")) * _norm(F.col("__vb")))
     return (
         a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(raw >= threshold)
+        .select("doc_a", "doc_b", F.round(raw, 4).alias("cosine"))
+    )
+
+
+def embedding_near_pairs_bucketed(
+    corpus: DataFrame, threshold: float = 0.3, bits: int = 4,
+    n_tables: int = 16, dim: int = 64, multi_probe: bool = True,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs, bucketed — the scale path of
+    :func:`embedding_near_pairs` (same composition that makes
+    ``simhash_near_pairs`` scale: bucket equi-join candidates, exact
+    filter, no cartesian).
+
+    Candidates = pairs whose ``bits``-bit sign signatures are within
+    Hamming 1 in ANY of ``n_tables`` hyperplane tables (Hamming-1 via
+    a-side single-bit flips — ``multi_probe``). Exact cosine is then
+    computed on candidates only. All signatures come from ONE corpus
+    scan (array of per-table buckets, checkpointed); the explode fans
+    out ids + buckets only — vectors are re-attached per side AFTER
+    pair dedup, so the 64-float arrays never multiply through the
+    ×(n_tables·(bits+1)) fan-out.
+
+    Recall is parameter-driven (not pigeonholed like simhash): P[miss]
+    per table = 1 - P[ham<=1] with per-bit agreement 1-θ/π. At real
+    near-dup thresholds (cosine ≥ .9) a handful of tables reaches
+    recall ~1 while pruning hard; the driver-data thresholds are far
+    looser, so the driver query runs wide (bits=4, L=16 — measured
+    recall 1.0 vs brute force on the gate data, pinned by pytest).
+    """
+    sigs = F.array(*[
+        lsh_bucket(F.col(vec_col), hyperplanes(dim, bits, seed=7 + 131 * t))
+        for t in range(n_tables)
+    ])
+    base = (
+        corpus.select(F.col(id_col).alias("id"), sigs.alias("sigs"))
+        .localCheckpoint(eager=False)  # one scan feeds both join sides
+    )
+    own = [
+        F.struct(F.lit(t).alias("tbl"), F.col("sigs")[t].alias("bucket"))
+        for t in range(n_tables)
+    ]
+    probe = own + ([
+        F.struct(F.lit(t).alias("tbl"),
+                 F.col("sigs")[t].bitwiseXOR(F.lit(1 << i)).alias("bucket"))
+        for t in range(n_tables) for i in range(bits)
+    ] if multi_probe else [])
+    a = base.select(F.col("id").alias("doc_a"),
+                    F.explode(F.array(*probe)).alias("e")
+                    ).select("doc_a", "e.tbl", "e.bucket")
+    b = base.select(F.col("id").alias("doc_b"),
+                    F.explode(F.array(*own)).alias("e")
+                    ).select("doc_b", "e.tbl", "e.bucket")
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    va = corpus.select(F.col(id_col).alias("doc_a"),
+                       F.col(vec_col).alias("__va"))
+    vb = corpus.select(F.col(id_col).alias("doc_b"),
+                       F.col(vec_col).alias("__vb"))
+    raw = _dot(F.col("__va"), F.col("__vb")) / (
+        _norm(F.col("__va")) * _norm(F.col("__vb")))
+    return (
+        cand.join(va, "doc_a").join(vb, "doc_b")
         .filter(raw >= threshold)
         .select("doc_a", "doc_b", F.round(raw, 4).alias("cosine"))
     )
