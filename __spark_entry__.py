@@ -413,6 +413,36 @@ def q_codec_pruned_scan(spark, sf):
     )
 
 
+def q_codec_pruned_scan_col(spark, sf):
+    """Secondary-column zone-map pruning ON the encoded format: encode
+    documents sorted by (lang, n_chars); every chunk row carries its
+    own column's [col_min, col_max], so an n_chars band prunes whole
+    chunks of EVERY lang — a predicate the lead-key zone map cannot
+    express. Survivors decode, exact filter, aggregate. Oracle: the
+    same aggregate over the raw table. test_encoder pins that chunks
+    were actually pruned and the result is unchanged."""
+    from parquet_producers_spark.encoder import (
+        decode_chunks,
+        encode_partitions,
+        prune_chunks_on,
+    )
+
+    _ensure_pkg(spark)
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    chunks = encode_partitions(d, sort_cols=["lang", "n_chars"],
+                               partitions=8, chunk_rows=32)
+    pruned = prune_chunks_on(chunks, "n_chars", lo=100, hi=199, cast="long")
+    decoded = decode_chunks(pruned, ordered=False)
+    return (
+        decoded.filter((F.col("n_chars") >= 100) & (F.col("n_chars") <= 199))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"),
+             F.min("doc_id").alias("min_doc"),
+             F.max("doc_id").alias("max_doc"))
+    )
+
+
 def q_dedup_exact(spark, sf):
     d = _t(spark, sf, "documents")
     return d.agg(
@@ -744,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_roundtrip_sha": q_codec_roundtrip_sha,
         "codec_stats": q_codec_stats,
         "codec_pruned_scan": q_codec_pruned_scan,
+        "codec_pruned_scan_col": q_codec_pruned_scan_col,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
@@ -1134,6 +1165,13 @@ SELECT doc_id, sha256(text) AS text_sha FROM documents
 SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
 FROM documents WHERE doc_id BETWEEN 100 AND 299
+GROUP BY lang
+"""
+
+    sql["codec_pruned_scan_col"] = """
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM documents WHERE n_chars BETWEEN 100 AND 199
 GROUP BY lang
 """
 

@@ -48,14 +48,39 @@ CHUNK_ARROW_SCHEMA = pa.schema([
     ("enc_bytes", pa.int64()),
     ("key_min", pa.string()),
     ("key_max", pa.string()),
+    # per-COLUMN zone map (this row's column, not the sort key): lets
+    # reads prune whole chunks on secondary-column range predicates —
+    # effective when the column is correlated with / sorted under the
+    # chunk order (see prune_chunks_on)
+    ("col_min", pa.string()),
+    ("col_max", pa.string()),
     ("data", pa.large_binary()),
 ])
 
 CHUNK_SPARK_SCHEMA = (
     "part_id int, chunk_seq int, col_idx int, column string, codec string, params string,"
     " n_rows long, raw_bytes long, enc_bytes long,"
-    " key_min string, key_max string, data binary"
+    " key_min string, key_max string, col_min string, col_max string, data binary"
 )
+
+
+def _col_zone(arr: pa.Array) -> tuple[str | None, str | None]:
+    """(min, max) of an orderable column as strings; (None, None) for
+    nested/unorderable types or all-null chunks. Stringification is
+    storage only — pruning casts back to the column type."""
+    import pyarrow.compute as pc
+
+    t = arr.type
+    orderable = (
+        pa.types.is_integer(t) or pa.types.is_floating(t)
+        or pa.types.is_string(t) or pa.types.is_large_string(t)
+        or pa.types.is_timestamp(t) or pa.types.is_date(t)
+        or pa.types.is_decimal(t) or pa.types.is_boolean(t)
+    )
+    if not orderable or len(arr) == arr.null_count:
+        return None, None
+    mm = pc.min_max(arr)
+    return str(mm["min"].as_py()), str(mm["max"].as_py())
 
 
 def _encode_chunk(tbl: pa.Table, pid: int, seq: int, cascade: bool,
@@ -68,6 +93,7 @@ def _encode_chunk(tbl: pa.Table, pid: int, seq: int, cascade: bool,
     else:
         key_min = key_max = None
     names, codecs, params_l, nrows_l, raw_l, enc_l, blobs = [], [], [], [], [], [], []
+    cmins, cmaxs = [], []
     for name in tbl.column_names:
         arr = tbl.column(name).combine_chunks()
         stats = column_stats(arr)
@@ -82,6 +108,9 @@ def _encode_chunk(tbl: pa.Table, pid: int, seq: int, cascade: bool,
         raw_l.append(arr.nbytes)
         enc_l.append(len(blob))
         blobs.append(blob)
+        cmin, cmax = _col_zone(arr)
+        cmins.append(cmin)
+        cmaxs.append(cmax)
     n = len(names)
     return pa.record_batch(
         [
@@ -96,6 +125,8 @@ def _encode_chunk(tbl: pa.Table, pid: int, seq: int, cascade: bool,
             pa.array(enc_l, pa.int64()),
             pa.array([key_min] * n, pa.string()),
             pa.array([key_max] * n, pa.string()),
+            pa.array(cmins, pa.string()),
+            pa.array(cmaxs, pa.string()),
             pa.array(blobs, pa.large_binary()),
         ],
         schema=CHUNK_ARROW_SCHEMA,
@@ -156,18 +187,31 @@ def encode_partitions(
         seq = 0
         cur_slice = None
 
-        def flush():
+        def flush(final: bool):
+            """Encode pending rows in EXACT chunk_rows slices (chunk
+            size bounds zone-map granularity and decode memory — an
+            Arrow batch must never become one oversized chunk). The
+            sub-chunk_rows remainder carries unless ``final`` (end of
+            partition / slice boundary)."""
             nonlocal pending, rows, seq
             tbl = pa.Table.from_batches(pending)
             if slice_col is not None:
                 tbl = tbl.drop_columns([slice_col])
-            out = _with_slice(
-                _encode_chunk(tbl, pid, seq, cascade, key_col, profile),
-                cur_slice,
-            )
-            pending, rows = [], 0
-            seq += 1
-            return out
+            off = 0
+            while tbl.num_rows - off >= chunk_rows or (
+                    final and tbl.num_rows > off):
+                chunk = tbl.slice(off, chunk_rows)
+                off += chunk.num_rows
+                out = _with_slice(
+                    _encode_chunk(chunk, pid, seq, cascade, key_col,
+                                  profile),
+                    cur_slice,
+                )
+                seq += 1
+                yield out
+            rem = tbl.slice(off)
+            pending = rem.to_batches() if rem.num_rows else []
+            rows = rem.num_rows
 
         for b in batches:
             if slice_col is None:
@@ -185,14 +229,14 @@ def encode_partitions(
                 if slice_col is not None:
                     sv = seg.column(slice_col)[0].as_py()
                     if cur_slice is not None and sv != cur_slice and pending:
-                        yield flush()
+                        yield from flush(final=True)  # never straddle slices
                     cur_slice = sv
                 pending.append(seg)
                 rows += seg.num_rows
                 if rows >= chunk_rows:
-                    yield flush()
+                    yield from flush(final=False)
         if pending:
-            yield flush()
+            yield from flush(final=True)
 
     return df.mapInArrow(enc, schema=out_schema)
 
@@ -394,3 +438,38 @@ def prune_chunks(chunks: DataFrame, key_lo: str | None = None,
     if key_hi is not None:
         out = out.filter(F.col("key_min") <= key_hi)
     return out
+
+
+def prune_chunks_on(chunks: DataFrame, column: str, lo=None, hi=None,
+                    cast: str = "long") -> DataFrame:
+    """Zone-map pruning on ANY encoded column (not just the lead sort
+    key): drop WHOLE chunks — all their column rows — whose per-column
+    [col_min, col_max] cannot intersect [lo, hi].
+
+    Shape: filter the target column's chunk rows on the zone (a tiny
+    stats projection of the chunk manifest — one row per chunk), then
+    left-semi join the full chunk table on the chunk identity. At scale
+    the semi-join runs manifest-vs-manifest; pruned blobs are never
+    decoded. Effective when the column is correlated with the chunk
+    order (e.g. a secondary sort column: sorted by (lang, n_chars),
+    chunks carry narrow n_chars ranges, so an n_chars band prunes most
+    chunks of every lang — which lead-key pruning cannot do).
+
+    ``cast`` is the Spark type the stringified zone values are compared
+    under (the column's own type). Null zones (all-null or unorderable
+    chunks) are dropped — correct for range predicates, which never
+    match nulls.
+    """
+    from pyspark.sql import functions as F
+
+    stats = chunks.filter(F.col("column") == column)
+    if lo is not None:
+        stats = stats.filter(F.col("col_max").cast(cast) >= lo)
+    if hi is not None:
+        stats = stats.filter(F.col("col_min").cast(cast) <= hi)
+    layout_cols = [
+        c for c in chunks.columns
+        if c not in {f.name for f in CHUNK_ARROW_SCHEMA}
+    ]
+    ident = layout_cols + ["part_id", "chunk_seq"]
+    return chunks.join(stats.select(*ident).distinct(), ident, "left_semi")

@@ -118,3 +118,35 @@ def test_encode_files_direct_roundtrip(spark, tmp_path):
     chunks = encode_files(spark, files, key_col="repo")
     row = chunks.filter("col_idx = 0").limit(1).collect()[0]
     assert row.key_min is not None and row.key_max >= row.key_min
+
+
+def test_col_zone_map_prunes_and_preserves_results(spark, sf_dir):
+    """Per-column zone maps: a range predicate on a SECONDARY sort
+    column must drop whole chunks (col_min/col_max can't intersect)
+    while the decoded, exactly-filtered result is identical to the
+    unpruned scan."""
+    from pyspark.sql import functions as F
+
+    from parquet_producers_spark.encoder import (
+        decode_chunks,
+        encode_partitions,
+        prune_chunks_on,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "lang", "n_chars")
+    chunks = encode_partitions(docs, sort_cols=["lang", "n_chars"],
+                               partitions=4, chunk_rows=32) \
+        .localCheckpoint(eager=False)
+    total = chunks.count()
+    pruned = prune_chunks_on(chunks, "n_chars", lo=100, hi=199,
+                             cast="long")
+    kept = pruned.count()
+    assert kept < total * 0.8, (kept, total)  # real pruning happened
+
+    flt = (F.col("n_chars") >= 100) & (F.col("n_chars") <= 199)
+    got = sorted(tuple(r) for r in
+                 decode_chunks(pruned, ordered=False).filter(flt).collect())
+    want = sorted(tuple(r) for r in
+                  decode_chunks(chunks, ordered=False).filter(flt).collect())
+    assert got == want and len(want) > 0
