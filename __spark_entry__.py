@@ -443,6 +443,36 @@ def q_codec_pruned_scan_col(spark, sf):
     )
 
 
+def q_snapshot_incremental(spark, sf):
+    """Iceberg-shaped source layer (sources/snapshots.py): two append
+    commits of the documents table into a snapshot-manifest table, then
+    the INCREMENTAL scan between them — a manifest-driven changed-data
+    read that plans from two file lists and reads only the new files
+    (what feeds Pipeline.update waves at scale). Returns the second
+    commit's rows aggregated; oracle = the same aggregate over the
+    raw table's doc_id >= 250 half."""
+    import tempfile
+
+    from parquet_producers_spark.sources.snapshots import (
+        commit_snapshot,
+        snapshot_diff,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    t = tempfile.mkdtemp(prefix="pps_snap_") + "/tbl"
+    s1 = commit_snapshot(spark, d.filter(F.col("doc_id") < 250).coalesce(2), t)
+    s2 = commit_snapshot(
+        spark, d.filter(F.col("doc_id") >= 250).coalesce(2), t, mode="append")
+    return (
+        snapshot_diff(spark, t, s1, s2)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"),
+             F.min("doc_id").alias("min_doc"),
+             F.max("doc_id").alias("max_doc"))
+    )
+
+
 def q_dedup_exact(spark, sf):
     d = _t(spark, sf, "documents")
     return d.agg(
@@ -504,6 +534,63 @@ def q_dedup_simhash_pairs(spark, sf):
     d = _t(spark, sf, "documents")
     sig = simhash(d.filter(F.col("doc_id") < 300), "text", bits=16)
     return simhash_near_pairs(sig, max_hamming=3, bits=16)
+
+
+def q_dedup_components(spark, sf):
+    """Duplicate-cluster resolution — the step between pair-finding and
+    dedup: connected components over the simhash hamming<=1 near-dup
+    graph; every doc maps to its component's min doc_id (the canonical
+    survivor). Spark: min-label propagation, one join+groupBy per round
+    (O(diameter)); oracle: DuckDB recursive-CTE reachability with
+    MIN over the reachable set."""
+    from parquet_producers_spark.functions.dedup import (
+        connected_components,
+        simhash,
+        simhash_near_pairs,
+    )
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    sig = simhash(d, "text", bits=16)
+    pairs = simhash_near_pairs(sig, max_hamming=1, bits=16)
+    return connected_components(pairs, vertices=d.select("doc_id"))
+
+
+def q_corpus_curation(spark, sf):
+    """End-to-end curation pipeline — the composition an LLM-data
+    pipeline actually runs, in ONE Spark plan: simhash near-dup
+    clusters (banded pairs, no cartesian) → connected components →
+    keep only each cluster's canonical doc (min doc_id) → quality
+    filter → per-lang corpus budget (docs, chars, BPE tokens, mean
+    quality). Oracle: DuckDB recursive-CTE components + the same
+    parity-proven quality/BPE SQL fragments."""
+    from parquet_producers_spark.functions.dedup import (
+        connected_components,
+        simhash,
+        simhash_near_pairs,
+    )
+    from parquet_producers_spark.functions.text import (
+        bpe_token_count,
+        quality_score,
+    )
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    sig = simhash(d, "text", bits=16)
+    pairs = simhash_near_pairs(sig, max_hamming=0, bits=16)
+    comp = connected_components(pairs, vertices=d.select("doc_id"))
+    kept = d.join(comp, "doc_id").filter(
+        F.col("doc_id") == F.col("component_id"))
+    scored = kept.select(
+        "lang", "n_chars",
+        quality_score(F.col("text"), F.col("n_chars")).alias("q"),
+        bpe_token_count(F.col("text")).alias("bpe"),
+    ).filter(F.col("q") >= 0.4)
+    return (
+        scored.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"),
+             F.sum("bpe").cast("long").alias("total_bpe_tokens"),
+             F.round(F.avg("q") + F.lit(1e-9), 4).alias("avg_quality"))
+    )
 
 
 def q_text_quality(spark, sf):
@@ -775,12 +862,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_stats": q_codec_stats,
         "codec_pruned_scan": q_codec_pruned_scan,
         "codec_pruned_scan_col": q_codec_pruned_scan_col,
+        "snapshot_incremental": q_snapshot_incremental,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_components": q_dedup_components,
+        "corpus_curation": q_corpus_curation,
         "text_quality": q_text_quality,
         "text_winnow_fp": q_text_winnow_fp,
         "embedding_knn": q_embedding_knn,
@@ -1175,6 +1265,13 @@ FROM documents WHERE n_chars BETWEEN 100 AND 199
 GROUP BY lang
 """
 
+    sql["snapshot_incremental"] = """
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM documents WHERE doc_id >= 250
+GROUP BY lang
+"""
+
     sql["dedup_exact"] = """
 SELECT COUNT(DISTINCT md5(text)) AS n_unique, COUNT(*) AS n_total
 FROM documents
@@ -1237,6 +1334,46 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM sims a JOIN sims b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+    # components via recursive-CTE reachability: component id of a doc
+    # = MIN doc_id over everything reachable through hamming<=h edges
+    def _components_cte(max_hamming: int) -> str:
+        return _simhash_sql(16).replace(
+            "\nWITH ", "\nWITH RECURSIVE ", 1) + f""",
+edges AS (
+  SELECT a.doc_id AS a, b.doc_id AS b FROM sims a JOIN sims b
+  ON a.doc_id <> b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM sims
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (SELECT src AS doc_id, MIN(dst) AS component_id FROM reach
+         GROUP BY src)
+"""
+
+    sql["dedup_components"] = _components_cte(1) + \
+        "SELECT doc_id, component_id FROM comp"
+
+    sql["corpus_curation"] = _components_cte(0) + f""",
+kept AS (
+  SELECT d.* FROM documents d
+  JOIN comp ON d.doc_id = comp.doc_id AND comp.component_id = d.doc_id
+),
+scored AS (
+  SELECT lang, n_chars,
+         {quality_score_sql('text', 'n_chars')} AS q,
+         {bpe_token_count_sql('text')} AS bpe
+  FROM kept
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(bpe) AS BIGINT) AS total_bpe_tokens,
+       ROUND(AVG(q) + 1e-9, 4) AS avg_quality
+FROM scored WHERE q >= 0.4 GROUP BY lang
 """
 
     sql["text_quality"] = f"""

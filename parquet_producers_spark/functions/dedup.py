@@ -245,3 +245,82 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    vertices: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the
+    near-dup pair graph → ``(vertex, component_id)`` with
+    ``component_id`` = the minimum vertex id reachable. This is the
+    step between pair-finding and actual dedup: one canonical document
+    (the min id) per component, everything else is a removable dup.
+
+    Min-label propagation with pointer-jumping: each round every vertex
+    takes ``min(own label, neighbors' labels)`` (one equi-join + one
+    groupBy), then shortcuts through its label's own label (labels are
+    vertex ids, so one more self-join halves every path) — O(log
+    diameter) rounds, so even chain-shaped components converge fast.
+    Labels are eagerly localCheckpointed per round — iterative lineage
+    would otherwise grow a join-tower Catalyst replans from scratch
+    each action. No driver-side graph state: at 100 TB the labels frame
+    is (vertex, label) pairs, nothing else.
+
+    ``vertices`` widens the output to isolated vertices (no pairs) —
+    they map to themselves.
+    """
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (
+        edges.unionByName(edges.select(F.col("b").alias("a"),
+                                       F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)  # reused every round
+    )
+    if vertices is None:
+        verts = edges.select(F.col("a").alias("v")).distinct()
+    else:
+        verts = vertices.select(F.col(id_col).alias("v")).distinct()
+    labels = verts.select("v", F.col("v").alias("c")).localCheckpoint(
+        eager=True)
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels.withColumnRenamed("v", "b"), "b")
+            .groupBy("a").agg(F.min("c").alias("nc"))
+            .withColumnRenamed("a", "v")
+        )
+        stepped = (
+            labels.join(nbr, "v", "left")
+            .select("v", F.least(F.col("c"),
+                                 F.coalesce(F.col("nc"), F.col("c")))
+                    .alias("c"))
+        )
+        # pointer jumping: follow the label's own label (c is a vertex
+        # id) — path-halving turns O(diameter) into O(log diameter)
+        lut = stepped.select(F.col("v").alias("c"),
+                             F.col("c").alias("cc"))
+        new_labels = (
+            stepped.join(lut, "c", "left")
+            .select("v", F.least(F.col("c"),
+                                 F.coalesce(F.col("cc"), F.col("c")))
+                    .alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("c", "c2")
+            .join(labels, "v")
+            .filter(F.col("c2") != F.col("c"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixpoint in {max_iter} rounds")
+    return labels.select(F.col("v").alias(id_col),
+                         F.col("c").alias("component_id"))

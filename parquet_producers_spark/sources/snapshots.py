@@ -126,6 +126,33 @@ def read_snapshot(
     return spark.read.parquet(*paths)
 
 
+def snapshot_diff(
+    spark: SparkSession,
+    table_dir: str,
+    from_id: int,
+    to_id: int | None = None,
+    store: FileStore | None = None,
+) -> DataFrame:
+    """Incremental scan between snapshots (the Iceberg 'changed data'
+    read): rows of the data files present in ``to_id`` but not in
+    ``from_id``. For append-mode commits this is exactly the rows added
+    after ``from_id`` — the natural feed for an incremental pipeline
+    wave (`Pipeline.update` root updates): each wave consumes
+    ``snapshot_diff(last_seen, latest)`` instead of rescanning the
+    table. File identity (immutable paths), never row comparison — the
+    diff plans from two manifests and reads only the new files."""
+    store = store or LocalStore()
+    old = {f["path"] for f in snapshot_files(table_dir, from_id, store)}
+    to_manifest = store.read_json(_manifest_path(
+        table_dir,
+        to_id if to_id is not None
+        else list_snapshots(table_dir, store)[-1]))
+    new = [f["path"] for f in to_manifest["files"] if f["path"] not in old]
+    if not new:
+        return spark.createDataFrame([], schema=to_manifest["schema_ddl"])
+    return spark.read.parquet(*new)
+
+
 def snapshot_files(table_dir: str, snapshot_id: int | None = None,
                    store: FileStore | None = None) -> list[dict]:
     """The snapshot's file list with stats — planning input (e.g. feed

@@ -334,3 +334,24 @@ def test_embedding_pairs_bucketed_planted_neardups(spark):
             v >>= 1
         cand |= ham <= 1
     assert cand.mean() < 0.15  # >6x pruning vs the cartesian
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """Min-label propagation: a 5-vertex chain (diameter 4 — forces
+    multiple rounds), a 2-clique, and isolated vertices all resolve to
+    min-id components."""
+    from parquet_producers_spark.functions.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),   # chain 1-2-3-4-5
+         (10, 11)],                         # clique {10,11}
+        "doc_a long, doc_b long")
+    verts = spark.createDataFrame(
+        [(v,) for v in [1, 2, 3, 4, 5, 10, 11, 99]], "doc_id long")
+    got = {(r.doc_id, r.component_id) for r in
+           connected_components(pairs, vertices=verts).collect()}
+    want = {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+            (10, 10), (11, 10), (99, 99)}
+    assert got == want

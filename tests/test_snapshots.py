@@ -70,3 +70,32 @@ def test_snapshot_feeds_direct_encoder(spark, tmp_path):
         return h.hexdigest()
 
     assert digest(decoded) == digest(read_snapshot(spark, t))
+
+
+def test_snapshot_diff_incremental_scan(spark, tmp_path):
+    """snapshot_diff reads exactly the rows of files added between two
+    snapshots (append mode) — the changed-data feed for incremental
+    pipeline waves — and the full file set after a replace."""
+    from parquet_producers_spark.sources.snapshots import (
+        commit_snapshot,
+        read_snapshot,
+        snapshot_diff,
+    )
+
+    t = str(tmp_path / "tbl")
+    s1 = commit_snapshot(spark, spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id int, v string").coalesce(1), t)
+    s2 = commit_snapshot(spark, spark.createDataFrame(
+        [(3, "c")], "id int, v string").coalesce(1), t, mode="append")
+    got = sorted(tuple(r) for r in snapshot_diff(spark, t, s1, s2).collect())
+    assert got == [(3, "c")]
+    # latest default + self-diff is empty
+    assert snapshot_diff(spark, t, s1).count() == 1
+    assert snapshot_diff(spark, t, s2, s2).count() == 0
+    # replace commit: every file is new relative to s2
+    s3 = commit_snapshot(spark, spark.createDataFrame(
+        [(9, "z")], "id int, v string").coalesce(1), t, mode="replace")
+    assert [tuple(r) for r in snapshot_diff(spark, t, s2, s3).collect()] == [
+        (9, "z")]
+    assert sorted(tuple(r) for r in read_snapshot(spark, t, s3).collect()) \
+        == [(9, "z")]
