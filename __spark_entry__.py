@@ -56,6 +56,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repartition ONLY when the scan is under-parallel (the driver
+    tables are single-split, single-row-group parquet files, so
+    per-row-heavy stages would otherwise run on one core). At real
+    scale the scan has thousands of splits and this is a no-op — no
+    forced shuffle."""
+    want = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(want // 2, 2):
+        return df.repartition(want)
+    return df
+
+
 # --------------------------------------------------------------------------
 # flagship
 # --------------------------------------------------------------------------
@@ -506,6 +518,12 @@ def q_dedup_minhash_lsh(spark, sf):
     )
 
     d = _t(spark, sf, "documents")
+    # the driver table is ONE parquet split at these sfs, so without
+    # this the shingle explode + 8 min-aggs run on a single core
+    # (profiled: 4.5s single-task vs <1s spread). Conditional: at
+    # 100 TB the scan arrives in thousands of splits and no shuffle
+    # should be forced here — parallelism comes from the scan
+    d = _spread(spark, d)
     sig = minhash_signatures(d, "text", k=3, h=8)
     # materialize signatures once: the banded self-join consumes the
     # frame on both sides, and recomputing shingle-explode + 8 min-aggs
@@ -602,7 +620,9 @@ def q_text_quality(spark, sf):
         token_count,
     )
 
-    d = _t(spark, sf, "documents")
+    # single-split driver file: spread the regex/stopword scoring
+    # (no-op when the scan already has enough splits; see minhash_lsh)
+    d = _spread(spark, _t(spark, sf, "documents"))
     return d.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),

@@ -17,6 +17,14 @@ All metadata goes through :class:`~..filestore.FileStore`, so the same
 layout works on ``file://`` and object stores; data moves via Spark's
 parquet reader given explicit file lists (an Iceberg-style
 manifest-driven scan, not directory listing).
+
+Scale note: a snapshot here is ONE JSON manifest — right up to millions
+of files. At the 10^12-file north-rule extreme the file list itself is
+big data; real Iceberg shards it into a manifest-list → manifest tree
+and this layer would grow the same two-level split (manifest shards as
+parquet, the snapshot pointing at shard files). The reader/committer
+contracts (atomic pointer write, file-identity diff) are unchanged by
+that split, which is why the flat form is used here.
 """
 
 from __future__ import annotations

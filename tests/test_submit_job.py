@@ -1,0 +1,69 @@
+"""End-to-end spark-submit --py-files run of the deployment entrypoint
+(north_rule run mode): package the engine zip, submit
+scripts/submit_encode.py against a real parquet input in a fresh JVM,
+verify the metrics line, the encoded output, and manifest-based resume
+on re-submit."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spark_submit() -> str:
+    import pyspark
+
+    return os.path.join(os.path.dirname(pyspark.__file__), "bin",
+                        "spark-submit")
+
+
+@pytest.mark.skipif(not shutil.which("java"), reason="needs a JVM")
+def test_spark_submit_pyfiles_encode_and_resume(spark, tmp_path):
+    # input: a small slice of the driver documents table
+    src = str(tmp_path / "in")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "lang", "text").coalesce(2) \
+        .write.mode("overwrite").parquet(src)
+
+    subprocess.run([sys.executable, os.path.join(ROOT, "scripts",
+                                                 "make_pyfiles.py")],
+                   check=True, cwd=ROOT, capture_output=True)
+    zip_path = os.path.join(ROOT, "dist", "parquet_producers_spark.zip")
+    assert os.path.exists(zip_path)
+
+    out_root = str(tmp_path / "enc")
+    cmd = [
+        _spark_submit(), "--master", "local[4]",
+        "--py-files", zip_path,
+        "--conf", "spark.sql.shuffle.partitions=4",
+        os.path.join(ROOT, "scripts", "submit_encode.py"),
+        "--input", src, "--output", out_root, "--stage", "docs",
+        "--sort-cols", "doc_id", "--slices", "2", "--profile", "size",
+    ]
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # the zip must be self-sufficient
+    r1 = subprocess.run(cmd, capture_output=True, text=True, timeout=300,
+                        env=env)
+    assert r1.returncode == 0, r1.stderr[-3000:]
+    m1 = json.loads([ln for ln in r1.stdout.splitlines()
+                     if ln.startswith("{")][-1])
+    assert m1["rows"] == 500 and m1["resumed_slices"] == 0
+    assert 0 < m1["enc_bytes"] < m1["raw_bytes"]
+    chunks_dir = os.path.join(out_root, "docs", "v=1", "chunks")
+    assert os.path.isdir(chunks_dir)
+
+    # re-submit the identical job: every slice resumes from its manifest
+    r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=300,
+                        env=env)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    m2 = json.loads([ln for ln in r2.stdout.splitlines()
+                     if ln.startswith("{")][-1])
+    assert m2["resumed_slices"] == 2 and m2["rows"] == m1["rows"]
