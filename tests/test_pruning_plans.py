@@ -84,3 +84,36 @@ def test_zone_map_filter_is_scan_pushable(spark, chunk_table, tmp_path):
     reread = prune_chunks(spark.read.parquet(path), key_lo="org50")
     plan = reread._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "key_max" in plan.split("PushedFilters")[1][:200], plan
+
+
+def test_col_zone_prune_stats_scan_reads_no_blobs(spark, chunk_table,
+                                                  tmp_path):
+    """prune_chunks_on's semi-join plans TWO scans of the chunk table:
+    the stats side must read only chunk identity + zone columns — never
+    the encoded blobs (`data`). At 100 TB the stats scan is
+    manifest-sized while the data column is the table."""
+    from parquet_producers_spark.encoder import prune_chunks_on
+
+    path = str(tmp_path / "zz2")
+    chunk_table.write.mode("overwrite").parquet(path)
+    reread = spark.read.parquet(path)
+    pruned = prune_chunks_on(reread, "repo", lo="org10", hi="org20",
+                             cast="string")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    schemas = [seg.splitlines()[0] for seg in plan.split("ReadSchema:")[1:]]
+    assert len(schemas) >= 2, plan
+    # at least one scan (the stats side) must exclude the blob column
+    assert any("data" not in s for s in schemas), schemas
+    # the column-name equality is pushable on the stats side
+    assert "EqualTo(column,repo)" in plan or "IsNotNull(column)" in plan, \
+        plan
+    # and the semi-join keeps results correct: decoded rows equal the
+    # unpruned decode under the same exact filter
+    from pyspark.sql import functions as F
+
+    from parquet_producers_spark.encoder import decode_chunks
+
+    flt = (F.col("repo") >= "org10") & (F.col("repo") <= "org20")
+    got = decode_chunks(pruned, ordered=False).filter(flt).count()
+    want = decode_chunks(reread, ordered=False).filter(flt).count()
+    assert got == want > 0
