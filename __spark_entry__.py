@@ -12,6 +12,7 @@ sides before comparison.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -463,6 +464,7 @@ def q_snapshot_incremental(spark, sf):
     (what feeds Pipeline.update waves at scale). Returns the second
     commit's rows aggregated; oracle = the same aggregate over the
     raw table's doc_id >= 250 half."""
+    import shutil
     import tempfile
 
     from parquet_producers_spark.sources.snapshots import (
@@ -471,7 +473,12 @@ def q_snapshot_incremental(spark, sf):
     )
 
     d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
-    t = tempfile.mkdtemp(prefix="pps_snap_") + "/tbl"
+    # fixed per-user scratch path, wiped before each build: repeated
+    # gate/bench invocations overwrite instead of leaking a new
+    # mkdtemp per call. NOT cleaned after return — the driver collects
+    # the returned (lazy) DataFrame later.
+    t = os.path.join(tempfile.gettempdir(), "pps_snap_scratch", "tbl")
+    shutil.rmtree(t, ignore_errors=True)
     s1 = commit_snapshot(spark, d.filter(F.col("doc_id") < 250).coalesce(2), t)
     s2 = commit_snapshot(
         spark, d.filter(F.col("doc_id") >= 250).coalesce(2), t, mode="append")
@@ -1055,11 +1062,11 @@ def _ann_lsh_sql(bits: int = 4, n_tables: int = 4, k: int = 5) -> str:
     hyperplanes are deterministic, so they are emitted as literals and
     the whole pipeline (sign buckets → probe fan-out incl. Hamming-1
     flips → candidate dedup → exact cosine top-k) is plain SQL."""
-    from parquet_producers_spark.functions.similarity import hyperplanes
+    from parquet_producers_spark.functions.similarity import table_planes
 
     rows = []
-    for t in range(n_tables):
-        for p, plane in enumerate(hyperplanes(64, bits, seed=7 + 131 * t)):
+    for t, tbl in enumerate(table_planes(64, bits, n_tables)):
+        for p, plane in enumerate(tbl):
             for d, wgt in enumerate(plane):
                 rows.append(f"({t},{p},{d},{wgt!r})")
     planes = ",".join(rows)

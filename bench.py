@@ -219,31 +219,22 @@ def direct_level(cores: int, src_path: str, work: str,
 
 def paired_scaling(src_path: str, work: str,
                    reps: int = ENCODE_REPS) -> tuple[dict, dict, float]:
-    """Deployment-scaling measurement, noise-hardened: run the
-    direct-scan encode as LOW/HIGH back-to-back pairs, one pair per
-    rep, and record the MEDIAN of the per-pair efficiency ratios.
+    """Deployment-scaling measurement, noise-hardened two ways:
 
-    This box's noise is episodic (multi-minute windows where identical
-    jobs run 3-4× slower); with per-level medians a window that covers
-    one level's whole phase poisons the ratio, while inside a pair both
-    levels see the same conditions and the ratio cancels the window
-    out. Returns (low_median_entry, high_median_entry, eff)."""
-    lows, highs, ratios = [], [], []
+    * runs INTERLEAVE the two levels (low/high back-to-back pairs, one
+      pair per rep) so one of this box's multi-minute noise windows
+      cannot cover a single level's whole sample;
+    * the recorded efficiency uses BEST-of-N per level — host noise is
+      strictly one-sided (co-tenant load only ever slows a run), so the
+      fastest run per level estimates the noise-free time (standard
+      min-of-N benchmarking).
+
+    Returns (low_best_entry, high_best_entry, eff); each entry carries
+    every run's elapsed time for the spread."""
+    lows, highs = [], []
     for _ in range(reps):
-        lo = direct_level(LOW_CPUS, src_path, work, reps=1)
-        hi = direct_level(HIGH_CPUS, src_path, work, reps=1)
-        lows.append(lo)
-        highs.append(hi)
-        if lo["content_gbps"]:
-            ratios.append(min(
-                (hi["content_gbps"] / lo["content_gbps"])
-                / (HIGH_CPUS / LOW_CPUS), 1.0))
-    # the recorded efficiency uses BEST-of-N per level: host noise is
-    # strictly one-sided (co-tenant load only ever slows a run), so the
-    # fastest run per level is the estimator of the noise-free time —
-    # standard min-of-N benchmarking. The interleaving above still
-    # matters: it stops a noise window from covering one level's whole
-    # sample. Per-pair ratios are kept for the spread.
+        lows.append(direct_level(LOW_CPUS, src_path, work, reps=1))
+        highs.append(direct_level(HIGH_CPUS, src_path, work, reps=1))
     best_lo = max(e["content_gbps"] for e in lows)
     best_hi = max(e["content_gbps"] for e in highs)
     eff = round(min((best_hi / best_lo) / (HIGH_CPUS / LOW_CPUS), 1.0), 3) \
@@ -449,9 +440,9 @@ def main() -> None:
                                                       "direct_scaled"]:
             low, high = low_all[tag], high_all[tag]
             if tag == "direct_scaled":
-                # per-pair efficiency (see paired_scaling): immune to
-                # the episodic host-noise windows that can degrade one
-                # level's whole median
+                # best-of-N per level over interleaved pairs (see
+                # paired_scaling): robust to the episodic host-noise
+                # windows that can degrade one level's whole sample
                 eff = scaled_eff
             else:
                 eff = min(

@@ -192,16 +192,19 @@ def encode_partitions(
             size bounds zone-map granularity and decode memory — an
             Arrow batch must never become one oversized chunk). The
             sub-chunk_rows remainder carries unless ``final`` (end of
-            partition / slice boundary)."""
+            partition / slice boundary). The layout column is dropped
+            PER ENCODED CHUNK, never from the carried remainder — the
+            remainder must keep the schema of incoming batches or the
+            next concat mixes schemas."""
             nonlocal pending, rows, seq
             tbl = pa.Table.from_batches(pending)
-            if slice_col is not None:
-                tbl = tbl.drop_columns([slice_col])
             off = 0
             while tbl.num_rows - off >= chunk_rows or (
                     final and tbl.num_rows > off):
                 chunk = tbl.slice(off, chunk_rows)
                 off += chunk.num_rows
+                if slice_col is not None:
+                    chunk = chunk.drop_columns([slice_col])
                 out = _with_slice(
                     _encode_chunk(chunk, pid, seq, cascade, key_col,
                                   profile),

@@ -162,10 +162,19 @@ class HadoopStore(FileStore):
             # because manifests are write-once per version; a same-path
             # rewrite only happens on crash-resume, where the only
             # reader is the resuming driver itself.
-            if fs.exists(dest):
-                fs.delete(dest, False)
-            if not fs.rename(tmp, dest):
-                raise IOError(f"rename {tmp} -> {dest} failed")
+            #
+            # Fall back ONLY while tmp still exists: if the JVM-side
+            # rename actually completed and only the Py4J reply was
+            # lost, tmp is gone and dest is the new manifest — deleting
+            # dest here would manufacture the very no-manifest window
+            # this method exists to prevent.
+            if fs.exists(tmp):
+                if fs.exists(dest):
+                    fs.delete(dest, False)
+                if not fs.rename(tmp, dest):
+                    raise IOError(f"rename {tmp} -> {dest} failed")
+            elif not fs.exists(dest):
+                raise  # neither tmp nor dest survived — surface it
 
     def delete(self, path: str, recursive: bool = False) -> None:
         fs, p = self._fs(path), self._path(path)

@@ -35,11 +35,24 @@ def _norm(a):
     ))
 
 
+def cosine_expr(a, b):
+    """Unrounded cosine of two array columns (threshold comparisons use
+    this; round only in projections)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
 def with_cosine(joined: DataFrame, a_col: str, b_col: str) -> DataFrame:
-    a, b = F.col(a_col), F.col(b_col)
     return joined.withColumn(
-        "cosine", F.round(_dot(a, b) / (_norm(a) * _norm(b)), 4)
+        "cosine", F.round(cosine_expr(F.col(a_col), F.col(b_col)), 4)
     )
+
+
+def table_planes(dim: int, bits: int, n_tables: int) -> list[list[list[float]]]:
+    """The L independent hyperplane tables every LSH consumer in this
+    module (and the SQL oracle emitter) derives buckets from — ONE
+    place owns the per-table seeding, or the ANN index and the
+    pair-finder silently diverge."""
+    return [hyperplanes(dim, bits, seed=7 + 131 * t) for t in range(n_tables)]
 
 
 def cosine_topk(
@@ -116,9 +129,22 @@ def ivf_assign(
             F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
         ).withColumn("cl", _best_cl(cent_rows)).select("__id", "cl", "__vec")
 
+    spark = corpus.sparkSession
     cent_rows = _collect_cents(
         corpus.filter(F.col(id_col) < n_centroids).select(
             F.col(id_col).alias("cl"), F.col(vec_col).alias("cvec")))
+    if not cent_rows:
+        # no seed vectors (e.g. a shard whose ids all exceed
+        # n_centroids): degrade to empty index frames, like the old
+        # crossJoin formulation did, instead of failing analysis on an
+        # empty literal array
+        cents = spark.createDataFrame([], "cl bigint, cvec array<double>")
+        empty_assign = corpus.select(
+            F.col(id_col).alias("__id"),
+            F.lit(None).cast("bigint").alias("cl"),
+            F.col(vec_col).alias("__vec"),
+        ).limit(0)
+        return cents, empty_assign
     for _ in range(iters):
         best = assign(cent_rows)
         cent_rows = _collect_cents(
@@ -129,7 +155,6 @@ def ivf_assign(
             .agg(F.array_sort(F.collect_list(F.struct("dim", "w"))).alias("s"))
             .select("cl", F.transform("s", lambda t: t["w"]).alias("cvec"))
         )
-    spark = corpus.sparkSession
     cents = spark.createDataFrame(
         [(cl, cvec) for cl, cvec in cent_rows],
         "cl bigint, cvec array<double>")
@@ -198,8 +223,7 @@ def embedding_near_pairs(
                       F.col(vec_col).alias("__va"))
     b = corpus.select(F.col(id_col).alias("doc_b"),
                       F.col(vec_col).alias("__vb"))
-    raw = _dot(F.col("__va"), F.col("__vb")) / (
-        _norm(F.col("__va")) * _norm(F.col("__vb")))
+    raw = cosine_expr(F.col("__va"), F.col("__vb"))
     return (
         a.join(b, F.col("doc_a") < F.col("doc_b"))
         .filter(raw >= threshold)
@@ -234,8 +258,8 @@ def embedding_near_pairs_bucketed(
     recall 1.0 vs brute force on the gate data, pinned by pytest).
     """
     sigs = F.array(*[
-        lsh_bucket(F.col(vec_col), hyperplanes(dim, bits, seed=7 + 131 * t))
-        for t in range(n_tables)
+        lsh_bucket(F.col(vec_col), planes)
+        for planes in table_planes(dim, bits, n_tables)
     ])
     base = (
         corpus.select(F.col(id_col).alias("id"), sigs.alias("sigs"))
@@ -266,8 +290,7 @@ def embedding_near_pairs_bucketed(
                        F.col(vec_col).alias("__va"))
     vb = corpus.select(F.col(id_col).alias("doc_b"),
                        F.col(vec_col).alias("__vb"))
-    raw = _dot(F.col("__va"), F.col("__vb")) / (
-        _norm(F.col("__va")) * _norm(F.col("__vb")))
+    raw = cosine_expr(F.col("__va"), F.col("__vb"))
     return (
         cand.join(va, "doc_a").join(vb, "doc_b")
         .filter(raw >= threshold)
@@ -317,8 +340,7 @@ def lsh_ann_topk(
     from pyspark.sql import Window
 
     c_entries, p_entries = [], []
-    for t in range(n_tables):
-        planes = hyperplanes(dim, bits, seed=7 + 131 * t)
+    for t, planes in enumerate(table_planes(dim, bits, n_tables)):
         own = lsh_bucket(F.col(vec_col), planes)
         c_entries.append(F.struct(F.lit(t).alias("tbl"), own.alias("bucket")))
         p_buckets = [own] + (

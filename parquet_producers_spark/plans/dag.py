@@ -82,7 +82,7 @@ class Pipeline:
           update is one transaction, README.md:182)."""
         vs = list_versions(self.root, name, store=self.store)
         for v in reversed(vs):
-            if self.store.exists(self._txn_path(v)) and all(
+            if name in self._txn_stages(v) and all(
                 self.store.exists(posixpath.join(
                     stage_dir(self.root, name, v, t), "_SUCCESS"))
                 for t in ("content", "mappings", "updates")
@@ -92,6 +92,15 @@ class Pipeline:
 
     def _txn_path(self, version: int) -> str:
         return posixpath.join(self.root, f"_txn/v={version}.json")
+
+    def _txn_stages(self, version: int) -> list[str]:
+        """Stages committed at this version. Membership matters, not
+        just manifest existence: two INDEPENDENT transactions (disjoint
+        roots) can both produce a v=N — a crash in the second must not
+        become visible through the first's manifest."""
+        if not self.store.exists(self._txn_path(version)):
+            return []
+        return self.store.read_json(self._txn_path(version)).get("stages", [])
 
     def _write(self, name: str, version: int, table: str, df: DataFrame,
                sort_cols: list | None = None) -> None:
@@ -216,11 +225,16 @@ class Pipeline:
 
         # COMMIT POINT: the atomic rename of this manifest is what makes
         # every stage's v=N+1 visible to version() — before it, a crash
-        # leaves the transaction entirely uncommitted
+        # leaves the transaction entirely uncommitted. An independent
+        # earlier transaction (disjoint roots) may already own this
+        # version number: UNION the stage lists so its commits stay
+        # visible alongside ours.
+        prev_stages = self._txn_stages(new_version)
         atomic_write_json(
             self._txn_path(new_version),
             {"version": new_version, "based_on": based_on,
-             "stages": order, "timings_s": timings},
+             "stages": sorted(set(prev_stages) | set(order)),
+             "timings_s": timings},
             store=self.store,
         )
         return new_version

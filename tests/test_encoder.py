@@ -150,3 +150,32 @@ def test_col_zone_map_prunes_and_preserves_results(spark, sf_dir):
     want = sorted(tuple(r) for r in
                   decode_chunks(chunks, ordered=False).filter(flt).collect())
     assert got == want and len(want) > 0
+
+
+def test_sliced_encode_remainder_carries_across_flushes(spark):
+    """Regression: with slice_col set, a slice bigger than chunk_rows
+    with a non-multiple remainder must not mix schemas when the carried
+    remainder concatenates with the next batch (the remainder keeps the
+    layout column; it is dropped per encoded chunk only). Pre-fix this
+    raised ArrowInvalid on the deployment path's first oversized slice."""
+    from pyspark.sql import functions as F
+
+    from parquet_producers_spark.encoder import (
+        decode_chunks,
+        encode_partitions,
+    )
+
+    rows = [(i, i % 2, f"v{i:04d}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, sl int, v string")
+    chunks = encode_partitions(
+        df, sort_cols=["id"], partitions=2, chunk_rows=16,
+        slice_col="sl",
+    ).localCheckpoint(eager=False)
+    # chunks never straddle slices and respect chunk_rows
+    per = chunks.filter(F.col("column") == "id") \
+        .select("slice_id", "n_rows").collect()
+    assert all(r.n_rows <= 16 for r in per)
+    assert {r.slice_id for r in per} == {0, 1}
+    decoded = decode_chunks(chunks, ordered=False)
+    assert decoded.count() == 200
+    assert decoded.select(F.sum("id")).first()[0] == sum(range(200))

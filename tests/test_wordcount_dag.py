@@ -340,3 +340,47 @@ def test_validate_runs_before_any_write(spark, tmp_path):
         p.update({"phrases": good, "books": bad}, validate=True)
     assert p.version("phrases") == 0 and p.version("books") == 0
     assert not os.path.exists(str(tmp_path / "phrases"))
+
+
+def test_independent_txn_crash_not_visible_through_other_manifest(
+        spark, tmp_path):
+    """Two INDEPENDENT single-stage transactions can both produce v=1.
+    A crash in the second one after its tables hit disk (with _SUCCESS)
+    but before its commit point must stay invisible — the first
+    transaction's v=1 manifest must not vouch for it. And a successful
+    retry must not un-commit the first stage (stage lists merge)."""
+
+    def boom(key, pdf):
+        raise RuntimeError("exploded")
+
+    p = Pipeline(spark, str(tmp_path))
+    p.add(Stage("a", ["src_id"], ["id"], ["text"], _identity,
+                "id int, text string"))
+    p.add(Stage("b", ["src_id"], ["id"], ["text"], _identity,
+                "id int, text string"))
+    feed = lambda txt: spark.createDataFrame(  # noqa: E731
+        [("Add", 1, txt)], "type string, src_id int, text string")
+    p.update({"a": feed("hello")})
+    assert p.version("a") == 1 and p.version("b") == 0
+
+    # b's transaction: simulate a crash AFTER the tables committed by
+    # writing them manually (update_stage path) without the manifest
+    from parquet_producers_spark.operators.produce import (
+        bootstrap_stage,
+    )
+
+    content, mappings, updates_out = bootstrap_stage(
+        spark, p.nodes["b"].stage, feed("world"))
+    p._write("b", 1, "content", content)
+    p._write("b", 1, "mappings", mappings)
+    p._write("b", 1, "updates", updates_out)
+    # all three tables exist with _SUCCESS, a's v=1 manifest exists —
+    # but b is not IN it, so b stays uncommitted
+    assert p.version("b") == 0
+    assert p.version("a") == 1
+
+    # the re-run commits b at v=1 by MERGING into the manifest — and a
+    # stays committed
+    v = p.update({"b": feed("world")}, based_on=0)
+    assert v == 1
+    assert p.version("b") == 1 and p.version("a") == 1
