@@ -7,6 +7,7 @@ from __future__ import annotations
 import os
 
 import pandas as pd
+import pytest
 
 from parquet_producers_spark.operators.produce import Stage
 from parquet_producers_spark.plans.dag import Pipeline
@@ -202,3 +203,68 @@ def test_session_ordinals_never_repeat_across_timeouts():
     sids = [int(s) for df in emitted for s in df["session_id"]]
     assert sids == [1, 2, 3]           # monotone, no repeats, no reset
     assert not state.removed
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's state protocol needs google.protobuf, "
+           "absent in this container — the operator itself is plain "
+           "public API and runs wherever protobuf is installed")
+def test_sessionize_tws_matches_batch(spark, tmp_path, sf_dir):
+    """transformWithStateInPandas sessionizer (typed state + timers):
+    closed sessions must equal the batch gaps-and-islands result for
+    every session the stream can close — same contract as the
+    applyInPandasWithState variant."""
+    from parquet_producers_spark.operators.sessionize import (
+        sessionize,
+        sessionize_stream_tws,
+    )
+
+    src = str(tmp_path / "sess_tws_in")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .filter("user_id < 20").select("event_id", "ts", "user_id", "value")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    gap = 28800
+
+    # transformWithState requires the RocksDB state store provider
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, value double"
+    ).parquet(src)
+    sess = sessionize_stream_tws(stream, gap_s=gap)
+    q = (sess.writeStream.format("memory").queryName("sessions_tws")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.session_id):
+            (r.session_start, r.session_end, r.n_events,
+             round(r.total_value, 4))
+        for r in spark.sql("select * from sessions_tws").collect()
+    }
+
+    batch = sessionize(events, gap_s=gap)
+    want_all = {
+        (r.user_id, r.session_id):
+            (r.session_start, r.session_end, r.n_events,
+             round(r.total_value, 4))
+        for r in batch.collect()
+    }
+    last_sid = {}
+    for (u, sid) in want_all:
+        last_sid[u] = max(last_sid.get(u, 0), sid)
+    want_closed = {k: v for k, v in want_all.items()
+                   if k[1] != last_sid[k[0]]}
+    assert got == want_closed
+    assert len(got) > 10
