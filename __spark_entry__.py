@@ -618,6 +618,35 @@ def q_corpus_curation(spark, sf):
     )
 
 
+def q_corpus_split(spark, sf):
+    """Leakage-safe train/val/test assignment: split keyed on the
+    near-dup COMPONENT id (not the doc id), so a whole duplicate
+    cluster lands in one split and near-dups of training docs can
+    never leak into eval. Pure portable-hash column math — the oracle
+    re-derives components (recursive CTE) and the exact same md5
+    threshold arithmetic."""
+    from parquet_producers_spark.functions.dedup import (
+        connected_components,
+        simhash,
+        simhash_near_pairs,
+    )
+    from parquet_producers_spark.functions.splits import assign_split
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    sig = simhash(d, "text", bits=16)
+    pairs = simhash_near_pairs(sig, max_hamming=0, bits=16)
+    comp = connected_components(pairs, vertices=d.select("doc_id"))
+    assigned = assign_split(
+        d.join(comp, "doc_id"), key_col="component_id",
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1}, seed=11)
+    return (
+        assigned.groupBy("split")
+        .agg(F.count("*").alias("n_docs"),
+             F.countDistinct("component_id").alias("n_components"),
+             F.sum("n_chars").alias("total_chars"))
+    )
+
+
 def q_text_quality(spark, sf):
     from parquet_producers_spark.functions.text import (
         bpe_token_count,
@@ -898,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_components": q_dedup_components,
         "corpus_curation": q_corpus_curation,
+        "corpus_split": q_corpus_split,
         "text_quality": q_text_quality,
         "text_winnow_fp": q_text_winnow_fp,
         "embedding_knn": q_embedding_knn,
@@ -1401,6 +1431,19 @@ SELECT lang, COUNT(*) AS n_docs,
        CAST(SUM(bpe) AS BIGINT) AS total_bpe_tokens,
        ROUND(AVG(q) + 1e-9, 4) AS avg_quality
 FROM scored WHERE q >= 0.4 GROUP BY lang
+"""
+
+    from parquet_producers_spark.functions.splits import split_sql
+
+    split_case = split_sql("comp.component_id",
+                           {"train": 0.8, "val": 0.1, "test": 0.1}, seed=11)
+    sql["corpus_split"] = _components_cte(0) + f"""
+SELECT {split_case} AS split,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT comp.component_id) AS n_components,
+       CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+FROM documents d JOIN comp ON d.doc_id = comp.doc_id
+GROUP BY 1
 """
 
     sql["text_quality"] = f"""

@@ -1,0 +1,78 @@
+"""Deterministic, leakage-safe dataset splits — the last step of a
+training-data pipeline: assign every document to train/val/test as a
+pure function of a KEY, so (a) assignments are reproducible across
+runs/clusters with no RNG state, and (b) keying by the near-dup
+COMPONENT id (from :func:`..functions.dedup.connected_components`)
+puts a whole duplicate cluster into ONE split — near-dups of training
+documents can never leak into eval.
+
+Pure column expressions over the portable 60-bit hash (md5-derived,
+bit-identical in Spark and DuckDB), so the assignment is fully
+oracle-verifiable and free of Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import portable_hash64, portable_hash64_sql
+
+# hash buckets for fraction arithmetic: integer thresholds, no float
+# comparisons that could straddle an engine-rounding boundary
+SPLIT_BUCKETS = 1_000_000
+
+
+def _thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1: {fractions}")
+    out, acc = [], 0.0
+    for name, frac in fractions.items():  # caller-supplied order
+        acc += frac
+        out.append((name, int(round(acc * SPLIT_BUCKETS))))
+    out[-1] = (out[-1][0], SPLIT_BUCKETS)  # close rounding gaps exactly
+    return out
+
+
+def split_expr(key: Column, fractions: dict[str, float],
+               seed: int = 11) -> Column:
+    """'train'/'val'/… as a pure function of ``key``."""
+    bucket = F.pmod(portable_hash64(key.cast("string"), seed),
+                    F.lit(SPLIT_BUCKETS))
+    ths = _thresholds(fractions)
+    expr = F.when(bucket < ths[0][1], F.lit(ths[0][0]))
+    for name, hi in ths[1:]:
+        expr = expr.when(bucket < hi, F.lit(name))
+    return expr
+
+
+def split_sql(key_expr: str, fractions: dict[str, float],
+              seed: int = 11) -> str:
+    """The DuckDB re-derivation of :func:`split_expr` (same md5
+    arithmetic, same integer thresholds)."""
+    h = portable_hash64_sql(f"CAST({key_expr} AS VARCHAR)", seed)
+    bucket = f"(({h}) % {SPLIT_BUCKETS})"
+    ths = _thresholds(fractions)
+    cases = " ".join(
+        f"WHEN {bucket} < {hi} THEN '{name}'" for name, hi in ths
+    )
+    return f"CASE {cases} END"
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float] | None = None,
+    seed: int = 11,
+    out_col: str = "split",
+) -> DataFrame:
+    """Add a split column keyed on ``key_col``.
+
+    Pass the near-dup ``component_id`` as the key (join the output of
+    ``connected_components`` first) for leakage-safe splits: every row
+    of a component shares the key, hence the split. At 100 TB this is
+    one projection — no shuffle, no RNG, rerunnable anywhere with the
+    same answer.
+    """
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    return df.withColumn(out_col, split_expr(F.col(key_col), fractions,
+                                             seed))
