@@ -252,6 +252,8 @@ def encode_files(
     profile: str = "size",
     key_col: str | None = None,
     n_tasks: int | None = None,
+    split_row_groups: bool = False,
+    max_rows_per_task: int = 8 * CHUNK_ROWS,
 ) -> DataFrame:
     """Direct-scan encode of pre-sorted parquet files: each task reads
     its file with Arrow C++ inside the Python worker and encodes it —
@@ -277,28 +279,72 @@ def encode_files(
     # driver, so 64 one-file tasks burn 0.8 s of pure scheduling. On a
     # real cluster raise n_tasks for elasticity/straggler coverage.
     # createDataFrame from pandas splits into defaultParallelism
-    # contiguous slices — the task list needs no shuffle stage. Local
-    # mode wants tasks == cores (python task round-trips cost ~10 ms
-    # each, serialized on the driver); a cluster raises n_tasks for
-    # elasticity / straggler coverage.
-    fdf = spark.createDataFrame(
-        pd.DataFrame({"part_id": range(len(files)), "path": files}),
-        schema="part_id int, path string",
-    )
+    # contiguous slices — the task list needs no shuffle stage.
+    #
+    # split_row_groups: GIANT-FILE SKEW DEFENSE (north rule: "skew from
+    # mega-repos and giant files"). Whole-file tasks make a 10 GB file
+    # one straggler; with splitting, a work unit is a contiguous
+    # row-group range capped at ~max_rows_per_task rows, planned from
+    # parquet footers (driver-side metadata reads — at snapshot scale
+    # the manifest already carries per-file row counts). part_id stays
+    # the deterministic unit index, so output is stable under any
+    # scheduling; only chunk BOUNDARIES may differ from the unsplit
+    # read — the format's identity is row values (module docstring).
+    if split_row_groups:
+        import pyarrow.parquet as pq
+
+        units = []  # (path, rg_lo, rg_hi_exclusive)
+        for path in files:
+            md = pq.ParquetFile(path).metadata
+            lo, rows = 0, 0
+            for rg in range(md.num_row_groups):
+                rows += md.row_group(rg).num_rows
+                if rows >= max_rows_per_task:
+                    units.append((path, lo, rg + 1))
+                    lo, rows = rg + 1, 0
+            if lo < md.num_row_groups or md.num_row_groups == 0:
+                units.append((path, lo, md.num_row_groups))
+        fdf = spark.createDataFrame(
+            pd.DataFrame({
+                "part_id": range(len(units)),
+                "path": [u[0] for u in units],
+                "rg_lo": [u[1] for u in units],
+                "rg_hi": [u[2] for u in units],
+            }),
+            schema="part_id int, path string, rg_lo int, rg_hi int",
+        )
+        n_units = len(units)
+    else:
+        fdf = spark.createDataFrame(
+            pd.DataFrame({"part_id": range(len(files)), "path": files,
+                          "rg_lo": [-1] * len(files),
+                          "rg_hi": [-1] * len(files)}),
+            schema="part_id int, path string, rg_lo int, rg_hi int",
+        )
+        n_units = len(files)
     if n_tasks:
-        fdf = fdf.repartition(min(n_tasks, len(files)), "part_id")
+        fdf = fdf.repartition(min(n_tasks, n_units), "part_id")
 
     def enc(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.parquet as pq
 
         for b in batches:
-            for pid, path in zip(b.column("part_id").to_pylist(),
-                                 b.column("path").to_pylist()):
+            for pid, path, rg_lo, rg_hi in zip(
+                    b.column("part_id").to_pylist(),
+                    b.column("path").to_pylist(),
+                    b.column("rg_lo").to_pylist(),
+                    b.column("rg_hi").to_pylist()):
                 # use_threads=False: every worker on the box reading
                 # with Arrow's default all-core pool oversubscribes
                 # 16 workers × 32 threads; one core per task is the
                 # executor model
-                tbl = pq.read_table(path, use_threads=False)
+                if rg_lo < 0:
+                    tbl = pq.read_table(path, use_threads=False)
+                elif rg_hi > rg_lo:
+                    tbl = pq.ParquetFile(path).read_row_groups(
+                        list(range(rg_lo, rg_hi)), use_threads=False)
+                else:  # zero-row-group file
+                    tbl = pq.read_table(path, use_threads=False)
                 seq = 0
                 for off in range(0, max(tbl.num_rows, 1), chunk_rows):
                     chunk = tbl.slice(off, chunk_rows)

@@ -179,3 +179,44 @@ def test_sliced_encode_remainder_carries_across_flushes(spark):
     decoded = decode_chunks(chunks, ordered=False)
     assert decoded.count() == 200
     assert decoded.select(F.sum("id")).first()[0] == sum(range(200))
+
+
+def test_encode_files_splits_giant_file_row_groups(spark, tmp_path):
+    """Giant-file skew defense: with split_row_groups a big file becomes
+    several work units (capped by max_rows_per_task in row-group
+    granularity) while decoded content equals the whole-file read."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from parquet_producers_spark.encoder import decode_chunks, encode_files
+
+    # one giant file (8 row groups of 1000) + one small file
+    giant = str(tmp_path / "giant.parquet")
+    pq.write_table(
+        pa.table({"k": list(range(8000)),
+                  "v": [f"row{i:05d}" for i in range(8000)]}),
+        giant, row_group_size=1000)
+    small = str(tmp_path / "small.parquet")
+    pq.write_table(
+        pa.table({"k": [100000], "v": ["tiny"]}), small)
+    files = sorted(glob.glob(str(tmp_path / "*.parquet")))
+
+    chunks = encode_files(spark, files, chunk_rows=512,
+                          split_row_groups=True, max_rows_per_task=2000,
+                          key_col="k").localCheckpoint(eager=False)
+    n_units = chunks.select("part_id").distinct().count()
+    assert n_units == 5  # giant: 8000/2000 = 4 units, small: 1
+
+    decoded = decode_chunks(chunks, ordered=False)
+    assert decoded.count() == 8001
+    assert decoded.agg(F.sum("k")).first()[0] == sum(range(8000)) + 100000
+    # parity with the unsplit read
+    whole = decode_chunks(
+        encode_files(spark, files, chunk_rows=512, key_col="k"),
+        ordered=False)
+    assert sorted(tuple(r) for r in decoded.collect()) == \
+        sorted(tuple(r) for r in whole.collect())
