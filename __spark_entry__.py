@@ -456,6 +456,44 @@ def q_codec_pruned_scan_col(spark, sf):
     )
 
 
+def q_codec_compaction(spark, sf):
+    """Maintenance op ON the encoded format (compaction.py — the chunk
+    table's rewrite_data_files): encode documents into a deliberately
+    runty chunk table (12 partitions × 64-row chunks → every partition
+    leaves a trailing runt), compact — runts decode + re-encode into
+    full chunks, survivors pass through byte-identical — then decode
+    the compacted table and aggregate per lang with a content hashsum.
+    Oracle: the same aggregates over the raw table (compaction must be
+    invisible to readers); ``runts_reduced`` pins that the rewrite
+    actually shrank the runt population (oracle emits the literal)."""
+    from parquet_producers_spark.compaction import compact_chunks
+    from parquet_producers_spark.encoder import decode_chunks, encode_partitions
+
+    _ensure_pkg(spark)
+    docs = _t(spark, sf, "documents")
+    chunks = encode_partitions(
+        docs, sort_cols=["doc_id"], partitions=12, chunk_rows=64,
+    ).localCheckpoint(eager=False)
+    compacted = compact_chunks(
+        chunks, sort_cols=["doc_id"], chunk_rows=64, partitions=4,
+    ).localCheckpoint(eager=False)
+    # bounded driver-side counts: chunk-manifest cardinalities
+    runts_before = (chunks.filter(F.col("n_rows") < 64)
+                    .select("part_id", "chunk_seq").distinct().count())
+    runts_after = (compacted.filter(F.col("n_rows") < 64)
+                   .select("part_id", "chunk_seq").distinct().count())
+    decoded = decode_chunks(compacted, ordered=False)
+    hash60 = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("bigint")
+    return (
+        decoded.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").cast("bigint").alias("total_chars"),
+             F.sum(F.pmod(hash60, F.lit(1000000007))).alias("text_hashsum"))
+        .withColumn("runts_reduced",
+                    F.lit(1 if runts_after < runts_before else 0))
+    )
+
+
 def q_snapshot_incremental(spark, sf):
     """Iceberg-shaped source layer (sources/snapshots.py): two append
     commits of the documents table into a snapshot-manifest table, then
@@ -918,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_stats": q_codec_stats,
         "codec_pruned_scan": q_codec_pruned_scan,
         "codec_pruned_scan_col": q_codec_pruned_scan_col,
+        "codec_compaction": q_codec_compaction,
         "snapshot_incremental": q_snapshot_incremental,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1662,5 +1701,19 @@ SELECT col AS "column",
        (SELECT COUNT(*) FROM documents) AS total_rows,
        1 AS compressed
 FROM (VALUES ('doc_id'), ('text'), ('lang'), ('source'), ('n_chars')) t(col)
+"""
+
+    # compaction is invisible to readers: decoded aggregates equal the
+    # raw table's; runts_reduced is pinned 1 (the rewrite must shrink
+    # the runt population — deterministic at every gate sf)
+    sql["codec_compaction"] = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+                % 1000000007) AS BIGINT) AS text_hashsum,
+       1 AS runts_reduced
+FROM documents
+GROUP BY lang
 """
     return sql

@@ -1,0 +1,123 @@
+"""Chunk-table compaction — the encoded format's ``rewrite_data_files``.
+
+Incremental waves (plans/dag.py) and per-partition encodes leave *runt*
+chunks behind: every partition's trailing slice, and every small delta
+wave, emits chunks with ``n_rows < chunk_rows``. Over many versions the
+chunk table accumulates them, which degrades reads three ways — more
+manifest rows to plan over, coarser zone-map selectivity per stored
+byte, and per-chunk codec overhead (symbol tables, dictionaries) paid
+on tiny row counts.
+
+``compact_chunks`` rewrites ONLY the runts:
+
+1. split the table on ``n_rows >= runt_threshold`` — a manifest-level
+   predicate; full chunks pass through with their encoded blobs
+   byte-identical (never decoded, never re-encoded);
+2. decode the runts (a small fraction of the data by construction),
+   shuffle-sort them back into key order, and re-encode into exact
+   ``chunk_rows`` chunks via the normal encode path;
+3. give rewritten chunks fresh ``part_id``s above the existing range so
+   chunk identities never collide with survivors.
+
+This is the same contract as Iceberg's binpack ``rewrite_data_files``
+(public docs; see PAPERS.md): row multiset is preserved bit-identically,
+small files merge into full ones, and clustering is restored by the
+rewrite's sort — while untouched files are carried by reference. The
+reference system has no analogue (its per-version rewrite is total:
+Parquet.Producers/ParquetProduction.cs regenerates whole tables), which
+is exactly why an incremental engine at 100 TB needs this op: rewriting
+0.1% runt bytes instead of 100% is the difference between a nightly
+maintenance job and a full recompute.
+
+Scale shape: the runt/full split is a pushed-down parquet predicate on
+two small manifest columns; only runt blobs cross into Python for
+decode; the re-sort shuffles only runt rows; survivors stream through
+as stored bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .encoder import (
+    CHUNK_ARROW_SCHEMA,
+    CHUNK_ROWS,
+    decode_chunks,
+    encode_partitions,
+)
+
+
+def compact_chunks(
+    chunks: DataFrame,
+    sort_cols: list[str],
+    chunk_rows: int = CHUNK_ROWS,
+    runt_threshold: int | None = None,
+    partitions: int | None = None,
+    cascade: bool = False,
+    profile: str = "size",
+) -> DataFrame:
+    """Return a compacted chunk table: full chunks unchanged (same
+    blobs), runt chunks re-encoded into exact ``chunk_rows`` chunks
+    sorted by ``sort_cols``.
+
+    ``runt_threshold`` defaults to ``chunk_rows`` — with the encoder's
+    exact slicing, any chunk below the target size is a runt. Lower it
+    to leave near-full chunks alone (rewrite less).
+
+    The rewritten region is key-clustered by ``sort_cols``; physical
+    ``(part_id, chunk_seq)`` order interleaves survivors and rewrites,
+    so readers that need total key order sort on the key (the engine's
+    datasets are key-sorted sets — reference SURVEY.md §1.1 — and every
+    consumer already merges on key).
+    """
+    layout_cols = [
+        c for c in chunks.columns
+        if c not in {f.name for f in CHUNK_ARROW_SCHEMA}
+    ]
+    if layout_cols:
+        raise ValueError(
+            f"compact_chunks operates on one stored table; layout columns "
+            f"{layout_cols} present — filter to a single slice first")
+    threshold = runt_threshold or chunk_rows
+
+    survivors = chunks.filter(F.col("n_rows") >= threshold)
+    runts = chunks.filter(F.col("n_rows") < threshold)
+
+    # bounded collect: one aggregate row (manifest-scale metadata)
+    max_pid = chunks.agg(F.max("part_id")).first()[0]
+    if max_pid is None:
+        return chunks  # empty table: nothing to do
+    pid_base = int(max_pid) + 1
+
+    rewritten = (
+        encode_partitions(
+            decode_chunks(runts, ordered=False),
+            sort_cols=sort_cols,
+            partitions=partitions,
+            chunk_rows=chunk_rows,
+            cascade=cascade,
+            profile=profile,
+        )
+        .withColumn("part_id", (F.col("part_id") + F.lit(pid_base))
+                    .cast("int"))
+    )
+    return survivors.unionByName(rewritten)
+
+
+def compaction_plan(chunks: DataFrame,
+                    runt_threshold: int = CHUNK_ROWS) -> DataFrame:
+    """Manifest-only dry run: per column, how many chunks/bytes a
+    compaction would rewrite vs carry. Pure aggregation over the chunk
+    manifest columns — no blob is read (parquet column pruning drops
+    ``data``)."""
+    is_runt = (F.col("n_rows") < runt_threshold).cast("int")
+    return (
+        chunks.groupBy("column")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(is_runt).alias("runt_chunks"),
+            F.sum(F.col("enc_bytes") * is_runt).alias("runt_bytes"),
+            F.sum(F.col("enc_bytes") * (1 - is_runt)).alias("carried_bytes"),
+        )
+    )

@@ -1,0 +1,108 @@
+"""Chunk-table compaction (rewrite_data_files analogue): runts merge
+into full chunks, survivors pass through byte-identical, row multiset
+is preserved exactly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_producers_spark.compaction import compact_chunks, compaction_plan
+from parquet_producers_spark.datagen import source_code_df
+from parquet_producers_spark.encoder import decode_chunks, encode_partitions
+
+N_FILES = 3000
+CHUNK = 512
+
+
+@pytest.fixture(scope="module")
+def runty_chunks(spark):
+    """Encode in 12 partitions with chunk_rows=512: each partition's
+    trailing slice is a runt (3000/12 = 250 rows per partition → every
+    chunk is a runt in 8 partitions; mixed in the rest)."""
+    src = source_code_df(spark, N_FILES, seed=7, partitions=4)
+    return encode_partitions(
+        src, sort_cols=["repo", "path"], partitions=12, chunk_rows=CHUNK,
+    ).localCheckpoint(eager=True)
+
+
+def _multiset(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_compaction_preserves_rows_and_reduces_chunks(spark, runty_chunks):
+    before = decode_chunks(runty_chunks, ordered=False)
+    compacted = compact_chunks(
+        runty_chunks, sort_cols=["repo", "path"], chunk_rows=CHUNK,
+        partitions=4,
+    ).localCheckpoint(eager=True)
+    after = decode_chunks(compacted, ordered=False)
+
+    assert _multiset(after) == _multiset(before)  # bit-identical multiset
+
+    n_before = runty_chunks.select("part_id", "chunk_seq").distinct().count()
+    n_after = compacted.select("part_id", "chunk_seq").distinct().count()
+    assert n_after < n_before
+
+    # every rewritten chunk except at most the last is exactly full
+    runt_after = (
+        compacted.select("part_id", "chunk_seq", "n_rows").distinct()
+        .filter(F.col("n_rows") < CHUNK).count()
+    )
+    assert runt_after <= compacted.select("part_id").distinct().count()
+
+
+def test_compaction_passes_full_chunks_through_untouched(spark, runty_chunks):
+    compacted = compact_chunks(
+        runty_chunks, sort_cols=["repo", "path"], chunk_rows=CHUNK,
+        partitions=4,
+    )
+    full_before = {
+        (r["part_id"], r["chunk_seq"], r["column"]): bytes(r["data"])
+        for r in runty_chunks.filter(F.col("n_rows") >= CHUNK).collect()
+    }
+    full_after = {
+        (r["part_id"], r["chunk_seq"], r["column"]): bytes(r["data"])
+        for r in compacted.join(
+            runty_chunks.select("part_id", "chunk_seq").distinct(),
+            ["part_id", "chunk_seq"], "left_semi",
+        ).collect()
+    }
+    assert full_after == full_before  # same identities, same encoded bytes
+
+
+def test_compaction_new_part_ids_do_not_collide(spark, runty_chunks):
+    compacted = compact_chunks(
+        runty_chunks, sort_cols=["repo", "path"], chunk_rows=CHUNK,
+        partitions=4,
+    )
+    max_old = runty_chunks.agg(F.max("part_id")).first()[0]
+    rewritten = compacted.filter(F.col("part_id") > max_old)
+    assert rewritten.count() > 0
+    # rewritten region is key-clustered: zone maps are orderable
+    zones = (
+        rewritten.filter(F.col("column") == "repo")
+        .select("part_id", "chunk_seq", "key_min", "key_max")
+        .collect()
+    )
+    for z in zones:
+        assert z["key_min"] <= z["key_max"]
+
+
+def test_compaction_plan_counts_runts_without_reading_blobs(spark, runty_chunks):
+    plan = compaction_plan(runty_chunks, runt_threshold=CHUNK)
+    rows = {r["column"]: r for r in plan.collect()}
+    assert set(rows) == {"repo", "path", "commit", "lang", "content"}
+    manifest = runty_chunks.select("column", "n_rows", "enc_bytes").collect()
+    for col in rows:
+        expect_runts = sum(
+            1 for m in manifest if m["column"] == col and m["n_rows"] < CHUNK)
+        assert rows[col]["runt_chunks"] == expect_runts
+        assert rows[col]["runt_bytes"] + rows[col]["carried_bytes"] == sum(
+            m["enc_bytes"] for m in manifest if m["column"] == col)
+
+
+def test_compaction_rejects_layout_columns(spark, runty_chunks):
+    with pytest.raises(ValueError, match="layout"):
+        compact_chunks(runty_chunks.withColumn("slice_id", F.lit(0)),
+                       sort_cols=["repo"])
