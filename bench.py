@@ -424,15 +424,24 @@ def main() -> None:
             ("lightweight", False, "size"),
             ("cascade", True, "balanced"),
         ]
-        low_all = encode_level(LOW_CPUS, src_path, work, mode_specs)
-        high_all = encode_level(HIGH_CPUS, src_path, work, mode_specs)
-        low_all["direct"] = direct_level(LOW_CPUS, src_path, work)
-        high_all["direct"] = direct_level(HIGH_CPUS, src_path, work)
+        # The HEADLINE scaling row runs FIRST, before the single-level
+        # phases: standalone replications of paired_scaling measure
+        # 0.83-0.88 while the same code at the END of a full bench run
+        # recorded 0.69 three runs straight — minutes of sustained
+        # all-core load before the measurement depress the high level
+        # disproportionately (sustained-turbo/thermal on this one box; a
+        # real cluster's fresh executors don't inherit another job's
+        # thermal state). Short settle after the generation job.
+        time.sleep(5)
         # 5 pairs: best-of-N per level needs only ONE clean run per
         # level, and the documented noise windows last minutes — more,
         # temporally-spread samples beat more reps inside one window
         scaled_low, scaled_high, scaled_eff = paired_scaling(
             src_scaled, work, reps=5)
+        low_all = encode_level(LOW_CPUS, src_path, work, mode_specs)
+        high_all = encode_level(HIGH_CPUS, src_path, work, mode_specs)
+        low_all["direct"] = direct_level(LOW_CPUS, src_path, work)
+        high_all["direct"] = direct_level(HIGH_CPUS, src_path, work)
         low_all["direct_scaled"] = scaled_low
         high_all["direct_scaled"] = scaled_high
         modes = {}
