@@ -105,6 +105,139 @@ def compact_chunks(
     return survivors.unionByName(rewritten)
 
 
+def compact_stage(
+    spark,
+    root: str,
+    stage: str,
+    version: int,
+    chunk_rows: int = CHUNK_ROWS,
+    runt_threshold: int | None = None,
+    partitions_per_slice: int | None = None,
+    cascade: bool = False,
+    profile: str = "size",
+    store=None,
+):
+    """Maintenance transaction over the versioned layout
+    (storage.py): read stage version ``N``, compact every slice, write
+    version ``N+1`` with fresh per-slice manifests carrying
+    ``compacted_from`` lineage. Readers keep using ``v=N`` until the
+    new version's manifests land — the same visibility rule as any
+    other version, so compaction is concurrency-safe by construction.
+
+    Slice discipline is preserved: decoded runt rows re-derive their
+    slice from the SAME hash the original encode used (``slice_col`` +
+    ``slice_of`` come from the v=N manifests, not from caller
+    arguments), so rewritten chunks land in their original slice
+    partitions and slice-level resume keeps working — a killed
+    compaction re-runs only the slices whose v=N+1 manifest is
+    missing. Survivor chunks pass through byte-identical.
+
+    Returns the list of :class:`storage.SliceResult` for v=N+1.
+    """
+    from pyspark.sql import functions as F
+
+    from .storage import (
+        SliceResult,
+        atomic_write_json,
+        manifest_path,
+        read_chunks,
+        stage_dir,
+        _DEFAULT_STORE,
+    )
+
+    store = store or _DEFAULT_STORE
+    base = store.read_json(manifest_path(root, stage, version, 0))
+    slice_col, n_slices = base["slice_col"], int(base["slice_of"])
+    sort_cols = list(base["sort_cols"])
+    threshold = runt_threshold or chunk_rows
+    new_version = version + 1
+    out_dir = stage_dir(root, stage, new_version, "chunks")
+
+    done: dict[int, dict] = {}
+    for k in range(n_slices):
+        mpath = manifest_path(root, stage, new_version, k)
+        if store.exists(mpath):
+            done[k] = store.read_json(mpath)["metrics"]
+    todo = [k for k in range(n_slices) if k not in done]
+
+    per_slice: dict[int, dict] = {}
+    if todo:
+        import time
+
+        t0 = time.monotonic()
+        chunks = read_chunks(spark, root, stage, version).filter(
+            F.col("slice_id").isin([int(k) for k in todo]))
+        survivors = chunks.filter(F.col("n_rows") >= threshold)
+        runts = chunks.filter(F.col("n_rows") < threshold)
+        max_pid = chunks.agg(F.max("part_id")).first()[0]
+        has_runts = runts.limit(1).count() > 0
+        if has_runts:
+            rewritten = (
+                encode_partitions(
+                    decode_chunks(runts, ordered=False).withColumn(
+                        "__slice",
+                        F.pmod(F.hash(F.col(slice_col)),
+                               F.lit(n_slices)).cast("int"),
+                    ),
+                    sort_cols=sort_cols,
+                    partitions=(partitions_per_slice * len(todo)
+                                if partitions_per_slice else None),
+                    chunk_rows=chunk_rows,
+                    cascade=cascade,
+                    profile=profile,
+                    slice_col="__slice",
+                )
+                .withColumn(
+                    "part_id",
+                    (F.col("part_id") + F.lit(int(max_pid) + 1)).cast("int"))
+            )
+            out = survivors.unionByName(rewritten)
+        else:
+            out = survivors
+        (
+            out.write.mode("overwrite")
+            .option("compression", "none")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("slice_id")
+            .parquet(out_dir)
+        )
+        elapsed_s = time.monotonic() - t0
+
+        written = spark.read.parquet(out_dir).filter(
+            F.col("slice_id").isin([int(k) for k in todo]))
+        tots = {
+            int(r["slice_id"]): r
+            for r in written.groupBy("slice_id").agg(
+                F.sum(F.when(F.col("col_idx") == 0, F.col("n_rows"))
+                      .otherwise(F.lit(0))).alias("rows"),
+                F.sum("raw_bytes").alias("raw_bytes"),
+                F.sum("enc_bytes").alias("enc_bytes"),
+                F.countDistinct("part_id", "chunk_seq").alias("n_chunks"),
+            ).collect()
+        }
+        for k in todo:
+            tot = tots.get(k)
+            per_slice[k] = {
+                "rows": int(tot["rows"] or 0) if tot else 0,
+                "raw_bytes": int(tot["raw_bytes"] or 0) if tot else 0,
+                "enc_bytes": int(tot["enc_bytes"] or 0) if tot else 0,
+                "n_chunks": int(tot["n_chunks"] or 0) if tot else 0,
+                "elapsed_s": round(elapsed_s / len(todo), 3),
+            }
+            atomic_write_json(manifest_path(root, stage, new_version, k), {
+                "stage": stage, "version": new_version, "slice": k,
+                "slice_of": n_slices, "slice_col": slice_col,
+                "sort_cols": sort_cols, "compacted_from": version,
+                "metrics": per_slice[k],
+            }, store=store)
+
+    return [
+        SliceResult(k, True, done[k]) if k in done
+        else SliceResult(k, False, per_slice[k])
+        for k in range(n_slices)
+    ]
+
+
 def compaction_plan(chunks: DataFrame,
                     runt_threshold: int = CHUNK_ROWS) -> DataFrame:
     """Manifest-only dry run: per column, how many chunks/bytes a

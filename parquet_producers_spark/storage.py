@@ -87,6 +87,7 @@ def encode_run(
     profile: str = "size",
     input_fingerprint: str = "",
     store: FileStore | None = None,
+    chunk_rows: int | None = None,
 ) -> list[SliceResult]:
     """Checkpointed encode of ``df`` into the chunk-table format.
 
@@ -125,9 +126,12 @@ def encode_run(
         n_parts = (
             partitions_per_slice * len(todo) if partitions_per_slice else None
         )
+        from .encoder import CHUNK_ROWS
+
         chunks = encode_partitions(
             sliced, sort_cols=sort_cols, partitions=n_parts,
             cascade=cascade, profile=profile, slice_col="__slice",
+            chunk_rows=chunk_rows or CHUNK_ROWS,
         )
         (
             chunks.write.mode("overwrite")

@@ -106,3 +106,64 @@ def test_compaction_rejects_layout_columns(spark, runty_chunks):
     with pytest.raises(ValueError, match="layout"):
         compact_chunks(runty_chunks.withColumn("slice_id", F.lit(0)),
                        sort_cols=["repo"])
+
+
+def test_compact_stage_writes_new_version_with_lineage(spark, tmp_path):
+    """Versioned-layout integration: v=1 encoded with runty parameters,
+    compact_stage writes v=2 — decoded parity, fewer chunks, manifests
+    carry compacted_from, slice discipline preserved, resume skips."""
+    import json
+
+    from parquet_producers_spark.compaction import compact_stage
+    from parquet_producers_spark.datagen import source_code_df
+    from parquet_producers_spark.storage import (
+        encode_run,
+        list_versions,
+        manifest_path,
+        read_chunks,
+    )
+
+    root = str(tmp_path)
+    src = source_code_df(spark, 1500, seed=11, partitions=3).cache()
+    encode_run(
+        spark, src, root, "code", version=1,
+        sort_cols=["repo", "path"], n_slices=3, chunk_rows=192,
+        partitions_per_slice=2,
+    )
+    v1 = read_chunks(spark, root, "code", 1).localCheckpoint(eager=True)
+
+    res = compact_stage(spark, root, "code", version=1, chunk_rows=192,
+                        partitions_per_slice=1)
+    assert [r.skipped for r in res] == [False, False, False]
+    assert list_versions(root, "code") == [1, 2]
+    v2 = read_chunks(spark, root, "code", 2).localCheckpoint(eager=True)
+
+    # decoded parity across versions
+    a = sorted(tuple(r) for r in decode_chunks(v1, ordered=False).collect())
+    b = sorted(tuple(r) for r in decode_chunks(v2, ordered=False).collect())
+    assert a == b
+
+    # fewer chunks, same slice partitioning
+    def n_chunks(df):
+        return df.select("slice_id", "part_id", "chunk_seq").distinct().count()
+    assert n_chunks(v2) < n_chunks(v1)
+    assert (sorted(r.slice_id for r in v2.select("slice_id").distinct().collect())
+            == [0, 1, 2])
+
+    # every rewritten row still lives in the slice its key hashes to
+    from pyspark.sql import functions as F
+    dec = decode_chunks(v2.filter(F.col("slice_id") == 1), ordered=False)
+    derived = dec.withColumn(
+        "s", F.pmod(F.hash(F.col("repo")), F.lit(3))).select("s").distinct().collect()
+    assert [r.s for r in derived] == [1]
+
+    # manifests carry lineage
+    with open(manifest_path(root, "code", 2, 0)) as f:
+        m = json.load(f)
+    assert m["compacted_from"] == 1
+    assert m["metrics"]["rows"] > 0
+
+    # resume: second call skips every slice
+    res2 = compact_stage(spark, root, "code", version=1, chunk_rows=192)
+    assert [r.skipped for r in res2] == [True, True, True]
+    src.unpersist()
