@@ -238,6 +238,44 @@ def compact_stage(
     ]
 
 
+def compact_if_needed(
+    spark,
+    root: str,
+    stage: str,
+    version: int,
+    chunk_rows: int = CHUNK_ROWS,
+    min_runt_fraction: float = 0.25,
+    **kwargs,
+) -> int:
+    """Policy gate for periodic maintenance: decide from the chunk
+    MANIFEST (no blob read — parquet column pruning drops ``data``)
+    whether version ``N`` carries enough runt chunks to justify a
+    rewrite, and if so run :func:`compact_stage`.
+
+    Returns the version readers should use afterwards: ``N+1`` if a
+    compaction ran, else ``N``. Idempotent and cheap when healthy —
+    the scan is a two-column aggregate over chunk metadata, so a
+    scheduler can call this after every wave.
+    """
+    from pyspark.sql import functions as F
+
+    from .storage import read_chunks
+
+    threshold = kwargs.get("runt_threshold") or chunk_rows
+    stats = (
+        read_chunks(spark, root, stage, version)
+        .select("slice_id", "part_id", "chunk_seq", "n_rows").distinct()
+        .agg(F.count("*").alias("n"),
+             F.sum((F.col("n_rows") < threshold).cast("int")).alias("runts"))
+        .first()
+    )
+    if not stats["n"] or stats["runts"] / stats["n"] < min_runt_fraction:
+        return version
+    compact_stage(spark, root, stage, version, chunk_rows=chunk_rows,
+                  **kwargs)
+    return version + 1
+
+
 def compaction_plan(chunks: DataFrame,
                     runt_threshold: int = CHUNK_ROWS) -> DataFrame:
     """Manifest-only dry run: per column, how many chunks/bytes a

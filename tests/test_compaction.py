@@ -167,3 +167,32 @@ def test_compact_stage_writes_new_version_with_lineage(spark, tmp_path):
     res2 = compact_stage(spark, root, "code", version=1, chunk_rows=192)
     assert [r.skipped for r in res2] == [True, True, True]
     src.unpersist()
+
+
+def test_compact_if_needed_policy_gate(spark, tmp_path):
+    """Healthy table → no-op returning the same version; runty table →
+    compaction runs and the new version is returned."""
+    from parquet_producers_spark.compaction import compact_if_needed
+    from parquet_producers_spark.datagen import source_code_df
+    from parquet_producers_spark.storage import encode_run, list_versions
+
+    root = str(tmp_path)
+    src = source_code_df(spark, 1500, seed=11, partitions=3).cache()
+
+    # runty: chunk_rows=192 leaves a ~58-row runt per partition
+    encode_run(spark, src, root, "runty", version=1,
+               sort_cols=["repo", "path"], n_slices=3, chunk_rows=192,
+               partitions_per_slice=2)
+    assert compact_if_needed(spark, root, "runty", 1, chunk_rows=192,
+                             partitions_per_slice=1) == 2
+    assert list_versions(root, "runty") == [1, 2]
+
+    # healthy: huge chunk_rows → one sub-threshold chunk per partition is
+    # inevitable, but lower the runt bar so the fraction stays under it
+    encode_run(spark, src, root, "healthy", version=1,
+               sort_cols=["repo", "path"], n_slices=3, chunk_rows=192,
+               partitions_per_slice=2)
+    assert compact_if_needed(spark, root, "healthy", 1, chunk_rows=192,
+                             runt_threshold=8) == 1
+    assert list_versions(root, "healthy") == [1]
+    src.unpersist()
