@@ -494,6 +494,49 @@ def q_codec_compaction(spark, sf):
     )
 
 
+def q_codec_maintenance(spark, sf):
+    """The versioned-storage maintenance loop end-to-end: checkpointed
+    encode of documents into stage v=1 (storage.encode_run — hash
+    slices, per-slice manifests), then the compact_if_needed policy
+    gate fires (runty chunk_rows on purpose) and compact_stage writes
+    v=2 with compacted_from lineage. Read v=2, decode, aggregate.
+    Oracle: maintenance must be invisible to readers — the same
+    aggregates over the raw table; ``compacted`` and ``runts_reduced``
+    pin that the gate actually fired and shrank the runt population
+    (deterministic at every gate sf with min_runt_fraction=0.05)."""
+    import tempfile
+
+    from parquet_producers_spark.compaction import compact_if_needed
+    from parquet_producers_spark.storage import encode_run, read_chunks
+    from parquet_producers_spark.encoder import decode_chunks
+
+    _ensure_pkg(spark)
+    root = tempfile.mkdtemp(prefix="pps_maint_")  # kept: driver collects lazily
+    docs = _t(spark, sf, "documents")
+    encode_run(spark, docs, root, "docs", version=1, sort_cols=["doc_id"],
+               n_slices=3, chunk_rows=512, partitions_per_slice=2)
+    v1_runts = (read_chunks(spark, root, "docs", 1)
+                .filter(F.col("n_rows") < 512)
+                .select("slice_id", "part_id", "chunk_seq").distinct().count())
+    new_version = compact_if_needed(
+        spark, root, "docs", 1, chunk_rows=512, min_runt_fraction=0.05,
+        partitions_per_slice=1)
+    chunks = read_chunks(spark, root, "docs", new_version)
+    v2_runts = (chunks.filter(F.col("n_rows") < 512)
+                .select("slice_id", "part_id", "chunk_seq").distinct().count())
+    decoded = decode_chunks(chunks, ordered=False)
+    hash60 = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("bigint")
+    return (
+        decoded.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").cast("bigint").alias("total_chars"),
+             F.sum(F.pmod(hash60, F.lit(1000000007))).alias("text_hashsum"))
+        .withColumn("compacted", F.lit(1 if new_version == 2 else 0))
+        .withColumn("runts_reduced",
+                    F.lit(1 if v2_runts < v1_runts else 0))
+    )
+
+
 def q_snapshot_incremental(spark, sf):
     """Iceberg-shaped source layer (sources/snapshots.py): two append
     commits of the documents table into a snapshot-manifest table, then
@@ -957,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_pruned_scan": q_codec_pruned_scan,
         "codec_pruned_scan_col": q_codec_pruned_scan_col,
         "codec_compaction": q_codec_compaction,
+        "codec_maintenance": q_codec_maintenance,
         "snapshot_incremental": q_snapshot_incremental,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1712,6 +1756,19 @@ SELECT lang,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        CAST(SUM(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
                 % 1000000007) AS BIGINT) AS text_hashsum,
+       1 AS runts_reduced
+FROM documents
+GROUP BY lang
+"""
+
+    # versioned maintenance loop: v=2 readers see exactly the raw table
+    sql["codec_maintenance"] = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+                % 1000000007) AS BIGINT) AS text_hashsum,
+       1 AS compacted,
        1 AS runts_reduced
 FROM documents
 GROUP BY lang
