@@ -16,8 +16,12 @@ metrics line. Designed to be submitted, not imported:
 
 The session comes from spark-submit's conf (no master/memory hardcoded
 here); a re-submit of a killed run resumes from the slice manifests.
-tests/test_submit_job.py runs this end-to-end through a real
-spark-submit with the zip on --py-files.
+The same entrypoint also runs the maintenance leg of the deployment
+loop — ``--maintain`` applies the compaction policy gate to an encoded
+stage (rewrite runt chunks into version+1 when the runt fraction pays;
+no-op otherwise), so a scheduler alternates encode and maintain submits
+against the same output root. tests/test_submit_job.py runs both legs
+end-to-end through a real spark-submit with the zip on --py-files.
 """
 
 from __future__ import annotations
@@ -28,8 +32,9 @@ import json
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True,
-                    help="input parquet path/glob")
+    ap.add_argument("--input", default=None,
+                    help="input parquet path/glob (required unless "
+                         "--maintain)")
     ap.add_argument("--output", required=True,
                     help="root dir for the encoded stage")
     ap.add_argument("--stage", default="encoded")
@@ -39,11 +44,40 @@ def main() -> None:
     ap.add_argument("--profile", default="balanced",
                     choices=["size", "balanced", "fast"])
     ap.add_argument("--cascade", action="store_true")
+    ap.add_argument("--chunk-rows", type=int, default=None)
+    ap.add_argument("--maintain", action="store_true",
+                    help="instead of encoding, run the compaction policy "
+                         "gate on --stage/--version: if the runt fraction "
+                         "clears --min-runt-fraction, rewrite runts into "
+                         "version+1 (survivors pass through byte-identical)")
+    ap.add_argument("--min-runt-fraction", type=float, default=0.25)
     args = ap.parse_args()
 
     # import AFTER spark-submit has placed the --py-files zip on the
     # path — this file must not import the package at module scope
     from pyspark.sql import SparkSession
+
+    if not args.maintain and not args.input:
+        ap.error("--input is required unless --maintain")
+    if args.maintain:
+        from parquet_producers_spark.compaction import compact_if_needed
+        from parquet_producers_spark.encoder import CHUNK_ROWS
+
+        spark = SparkSession.builder.appName("pps-maintain").getOrCreate()
+        new_version = compact_if_needed(
+            spark, args.output, args.stage, args.version,
+            chunk_rows=args.chunk_rows or CHUNK_ROWS,
+            min_runt_fraction=args.min_runt_fraction,
+            cascade=args.cascade, profile=args.profile,
+        )
+        print(json.dumps({
+            "stage": args.stage,
+            "version": args.version,
+            "compacted": int(new_version != args.version),
+            "read_version": new_version,
+        }, separators=(",", ":")))
+        spark.stop()
+        return
 
     from parquet_producers_spark.storage import encode_run
 
@@ -55,6 +89,7 @@ def main() -> None:
         sort_cols=args.sort_cols.split(","),
         n_slices=args.slices, cascade=args.cascade, profile=args.profile,
         input_fingerprint=args.input,
+        chunk_rows=args.chunk_rows,
     )
     print(json.dumps({
         "stage": args.stage,
