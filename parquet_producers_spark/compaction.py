@@ -84,11 +84,15 @@ def compact_chunks(
     survivors = chunks.filter(F.col("n_rows") >= threshold)
     runts = chunks.filter(F.col("n_rows") < threshold)
 
-    # bounded collect: one aggregate row (manifest-scale metadata)
-    max_pid = chunks.agg(F.max("part_id")).first()[0]
-    if max_pid is None:
-        return chunks  # empty table: nothing to do
-    pid_base = int(max_pid) + 1
+    # bounded collect: ONE aggregate row over manifest-scale metadata
+    # answers both "is there anything to rewrite" and "what pid base"
+    stats = chunks.agg(
+        F.max("part_id").alias("max_pid"),
+        F.sum((F.col("n_rows") < threshold).cast("int")).alias("runt_rows"),
+    ).first()
+    if stats["max_pid"] is None or not stats["runt_rows"]:
+        return chunks  # empty or already-healthy table: no-op
+    pid_base = int(stats["max_pid"]) + 1
 
     rewritten = (
         encode_partitions(
@@ -110,7 +114,7 @@ def compact_stage(
     root: str,
     stage: str,
     version: int,
-    chunk_rows: int = CHUNK_ROWS,
+    chunk_rows: int | None = None,
     runt_threshold: int | None = None,
     partitions_per_slice: int | None = None,
     cascade: bool = False,
@@ -141,6 +145,7 @@ def compact_stage(
         atomic_write_json,
         manifest_path,
         read_chunks,
+        slice_status,
         stage_dir,
         _DEFAULT_STORE,
     )
@@ -149,16 +154,16 @@ def compact_stage(
     base = store.read_json(manifest_path(root, stage, version, 0))
     slice_col, n_slices = base["slice_col"], int(base["slice_of"])
     sort_cols = list(base["sort_cols"])
+    # stage geometry comes from the v=N manifest unless explicitly
+    # overridden — a maintain run must never reclassify a stage encoded
+    # with custom chunk_rows as 100% runts just because the caller used
+    # the default (same manifest-is-authoritative rule as slice_col)
+    chunk_rows = chunk_rows or int(base.get("chunk_rows") or CHUNK_ROWS)
     threshold = runt_threshold or chunk_rows
     new_version = version + 1
     out_dir = stage_dir(root, stage, new_version, "chunks")
 
-    done: dict[int, dict] = {}
-    for k in range(n_slices):
-        mpath = manifest_path(root, stage, new_version, k)
-        if store.exists(mpath):
-            done[k] = store.read_json(mpath)["metrics"]
-    todo = [k for k in range(n_slices) if k not in done]
+    done, todo = slice_status(root, stage, new_version, n_slices, store)
 
     per_slice: dict[int, dict] = {}
     if todo:
@@ -169,9 +174,13 @@ def compact_stage(
             F.col("slice_id").isin([int(k) for k in todo]))
         survivors = chunks.filter(F.col("n_rows") >= threshold)
         runts = chunks.filter(F.col("n_rows") < threshold)
-        max_pid = chunks.agg(F.max("part_id")).first()[0]
-        has_runts = runts.limit(1).count() > 0
-        if has_runts:
+        # ONE manifest-scale aggregate: pid base + anything-to-rewrite
+        st = chunks.agg(
+            F.max("part_id").alias("max_pid"),
+            F.sum((F.col("n_rows") < threshold).cast("int")).alias("runts"),
+        ).first()
+        max_pid = st["max_pid"] or 0
+        if st["runts"]:
             rewritten = (
                 encode_partitions(
                     decode_chunks(runts, ordered=False).withColumn(
@@ -227,7 +236,8 @@ def compact_stage(
             atomic_write_json(manifest_path(root, stage, new_version, k), {
                 "stage": stage, "version": new_version, "slice": k,
                 "slice_of": n_slices, "slice_col": slice_col,
-                "sort_cols": sort_cols, "compacted_from": version,
+                "sort_cols": sort_cols, "chunk_rows": chunk_rows,
+                "compacted_from": version,
                 "metrics": per_slice[k],
             }, store=store)
 
@@ -243,8 +253,9 @@ def compact_if_needed(
     root: str,
     stage: str,
     version: int,
-    chunk_rows: int = CHUNK_ROWS,
+    chunk_rows: int | None = None,
     min_runt_fraction: float = 0.25,
+    store=None,
     **kwargs,
 ) -> int:
     """Policy gate for periodic maintenance: decide from the chunk
@@ -259,8 +270,15 @@ def compact_if_needed(
     """
     from pyspark.sql import functions as F
 
-    from .storage import read_chunks
+    from .storage import manifest_path, read_chunks, _DEFAULT_STORE
 
+    # stage geometry from the v=N manifest unless overridden (see
+    # compact_stage) — the gate and the rewrite must judge runts
+    # against the chunk_rows the stage was actually encoded with
+    st = store or _DEFAULT_STORE
+    if chunk_rows is None:
+        base = st.read_json(manifest_path(root, stage, version, 0))
+        chunk_rows = int(base.get("chunk_rows") or CHUNK_ROWS)
     threshold = kwargs.get("runt_threshold") or chunk_rows
     stats = (
         read_chunks(spark, root, stage, version)
@@ -272,7 +290,7 @@ def compact_if_needed(
     if not stats["n"] or stats["runts"] / stats["n"] < min_runt_fraction:
         return version
     compact_stage(spark, root, stage, version, chunk_rows=chunk_rows,
-                  **kwargs)
+                  store=store, **kwargs)
     return version + 1
 
 

@@ -73,6 +73,20 @@ class SliceResult:
     metrics: dict
 
 
+def slice_status(root: str, stage: str, version: int, n_slices: int,
+                 store: FileStore | None = None
+                 ) -> tuple[dict[int, dict], list[int]]:
+    """Resume bookkeeping shared by encode_run and compact_stage:
+    (done slice→metrics from existing manifests, todo slice ids)."""
+    store = store or _DEFAULT_STORE
+    done: dict[int, dict] = {}
+    for k in range(n_slices):
+        mpath = manifest_path(root, stage, version, k)
+        if store.exists(mpath):
+            done[k] = store.read_json(mpath)["metrics"]
+    return done, [k for k in range(n_slices) if k not in done]
+
+
 def encode_run(
     spark: SparkSession,
     df: DataFrame,
@@ -108,12 +122,7 @@ def encode_run(
     slice_col = slice_col or sort_cols[0]
     out_dir = stage_dir(root, stage, version, "chunks")
 
-    done: dict[int, dict] = {}
-    for k in range(n_slices):
-        mpath = manifest_path(root, stage, version, k)
-        if store.exists(mpath):
-            done[k] = store.read_json(mpath)["metrics"]
-    todo = [k for k in range(n_slices) if k not in done]
+    done, todo = slice_status(root, stage, version, n_slices, store)
 
     elapsed_s = 0.0
     per_slice: dict[int, dict] = {}
@@ -171,6 +180,9 @@ def encode_run(
                 "stage": stage, "version": version, "slice": k,
                 "slice_of": n_slices, "slice_col": slice_col,
                 "sort_cols": sort_cols, "input": input_fingerprint,
+                # recorded so maintenance (compaction) judges runts
+                # against the geometry the stage was encoded with
+                "chunk_rows": chunk_rows or CHUNK_ROWS,
                 "metrics": per_slice[k],
             }, store=store)
 

@@ -61,12 +61,12 @@ def main() -> None:
         ap.error("--input is required unless --maintain")
     if args.maintain:
         from parquet_producers_spark.compaction import compact_if_needed
-        from parquet_producers_spark.encoder import CHUNK_ROWS
 
         spark = SparkSession.builder.appName("pps-maintain").getOrCreate()
+        # chunk_rows=None → the stage's own manifest geometry decides
         new_version = compact_if_needed(
             spark, args.output, args.stage, args.version,
-            chunk_rows=args.chunk_rows or CHUNK_ROWS,
+            chunk_rows=args.chunk_rows,
             min_runt_fraction=args.min_runt_fraction,
             cascade=args.cascade, profile=args.profile,
         )

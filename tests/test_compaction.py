@@ -196,3 +196,53 @@ def test_compact_if_needed_policy_gate(spark, tmp_path):
                              runt_threshold=8) == 1
     assert list_versions(root, "healthy") == [1]
     src.unpersist()
+
+
+def test_compact_chunks_noop_on_healthy_table(spark, runty_chunks):
+    """A table with zero runts (the steady state after a compaction):
+    compact_chunks returns it unchanged instead of crashing on the
+    empty runt set's decode."""
+    from parquet_producers_spark.compaction import compact_chunks
+
+    # the fixture's chunks all hold ≥200 rows, so against a 200-row
+    # runt bar the table is healthy and the runt set is empty
+    assert runty_chunks.filter(F.col("n_rows") < 200).count() == 0
+
+    out = compact_chunks(runty_chunks, sort_cols=["repo", "path"],
+                         chunk_rows=CHUNK, runt_threshold=200)
+    assert out.count() == runty_chunks.count()
+    max_pid = runty_chunks.agg(F.max("part_id")).first()[0]
+    assert out.filter(F.col("part_id") > max_pid).count() == 0  # no rewrites
+
+
+def test_compact_if_needed_uses_manifest_chunk_rows(spark, tmp_path):
+    """A maintain run without an explicit chunk_rows must judge runts
+    against the geometry recorded in the stage manifests — NOT the
+    global default (which would reclassify a custom-geometry stage as
+    100% runts and rewrite everything)."""
+    import json
+
+    from parquet_producers_spark.compaction import compact_if_needed
+    from parquet_producers_spark.storage import (
+        encode_run,
+        manifest_path,
+        read_chunks,
+    )
+
+    root = str(tmp_path)
+    src = source_code_df(spark, 1500, seed=11, partitions=3).cache()
+    encode_run(spark, src, root, "code", version=1,
+               sort_cols=["repo", "path"], n_slices=3, chunk_rows=192,
+               partitions_per_slice=2)
+    with open(manifest_path(root, "code", 1, 0)) as f:
+        assert json.load(f)["chunk_rows"] == 192
+
+    # no chunk_rows argument: geometry comes from the manifest (192),
+    # the runty stage compacts, and the rewrite keeps 192-row chunks
+    assert compact_if_needed(spark, root, "code", 1,
+                             partitions_per_slice=1) == 2
+    v2 = read_chunks(spark, root, "code", 2)
+    assert v2.agg(F.max("n_rows")).first()[0] <= 192
+    with open(manifest_path(root, "code", 2, 0)) as f:
+        assert json.load(f)["chunk_rows"] == 192
+    src.unpersist()

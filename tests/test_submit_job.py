@@ -68,15 +68,16 @@ def test_spark_submit_pyfiles_encode_and_resume(spark, tmp_path):
                      if ln.startswith("{")][-1])
     assert m2["resumed_slices"] == 2 and m2["rows"] == m1["rows"]
 
-    # maintenance leg: at chunk_rows=65536 the 500-row stage is 100%
-    # runt chunks, so the policy gate fires and v=2 appears
+    # maintenance leg: no --chunk-rows — geometry comes from the v=1
+    # manifests (default 65536), against which the 500-row stage is
+    # 100% runt chunks, so the policy gate fires and v=2 appears
     mcmd = [
         _spark_submit(), "--master", "local[4]",
         "--py-files", zip_path,
         "--conf", "spark.sql.shuffle.partitions=4",
         os.path.join(ROOT, "scripts", "submit_encode.py"),
         "--output", out_root, "--stage", "docs", "--version", "1",
-        "--maintain", "--chunk-rows", "65536",
+        "--maintain",
     ]
     r3 = subprocess.run(mcmd, capture_output=True, text=True, timeout=300,
                         env=env)
