@@ -759,6 +759,56 @@ def q_text_winnow_fp(spark, sf):
     return winnow_fingerprints(d, "text", k=5, w=4)
 
 
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination (functions/dedup.py): docs whose
+    doc_id % 97 == 0 stand in as the held-out eval set; every other
+    doc is scored by the fraction of its distinct 3-word shingles that
+    appear anywhere in that set (corpus-shingles ⋈ distinct benchmark
+    shingles — no pairwise doc×bench blowup). Top-200 most-contaminated
+    docs, deterministic tiebreak on doc_id."""
+    from parquet_producers_spark.functions.dedup import contamination_scores
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    cand = d.filter(F.col("doc_id") % 97 != 0)
+    return (
+        contamination_scores(cand, bench)
+        .filter(F.col("n_hit") > 0)
+        .select("doc_id", "n_hit", "contamination")
+        .orderBy(F.desc("contamination"), F.asc("doc_id"))
+        .limit(200)
+    )
+
+
+def q_text_redact(spark, sf):
+    """PII scrubbing (functions/text.py): deterministic synthetic PII
+    (emails on doc_id%3==0, IPv4 on doc_id%5==0 — the corpus itself is
+    digit-free word salad) is injected identically in both engines,
+    then redacted with patterns Java regex and RE2 read the same way.
+    Redacted-text sha pins the transform byte-for-byte; the counts
+    audit the pass."""
+    from parquet_producers_spark.functions.text import pii_counts, redact_pii
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0,
+               F.concat(F.lit(" mail u"), did.cast("string"),
+                        F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(did % 5 == 0,
+               F.concat(F.lit(" ip 10.0."), (did % 200).cast("string"),
+                        F.lit(".7"))).otherwise(F.lit("")),
+    )
+    n_emails, n_ips = pii_counts(aug)
+    return d.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        F.sha2(redact_pii(aug), 256).alias("redacted_sha"),
+    )
+
+
 def q_embedding_knn(spark, sf):
     from parquet_producers_spark.functions.similarity import cosine_topk
 
@@ -1013,6 +1063,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "text_quality": q_text_quality,
         "text_winnow_fp": q_text_winnow_fp,
+        "text_redact": q_text_redact,
+        "decontaminate": q_decontaminate,
         "embedding_knn": q_embedding_knn,
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "embedding_ivf": q_embedding_ivf,
@@ -1541,6 +1593,55 @@ FROM documents
 
     sql["text_winnow_fp"] = winnow_fingerprints_sql(
         k=5, w=4, src="(SELECT doc_id, text FROM documents WHERE doc_id < 200)")
+
+    # benchmark decontamination: same shingle construction as jaccard
+    # (parity proven there); benchmark shingle set = docs with id%97==0
+    sql["decontaminate"] = f"""
+WITH {_SHINGLES_SQL},
+bench AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 97 = 0),
+scores AS (
+  SELECT s.doc_id,
+         COUNT(*) AS n_shingles,
+         CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hit
+  FROM shingles s LEFT JOIN bench b ON s.shingle = b.shingle
+  WHERE s.doc_id % 97 <> 0
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_hit,
+       ROUND(n_hit * 1.0 / n_shingles, 4) AS contamination
+FROM scores
+WHERE n_hit > 0
+ORDER BY contamination DESC, doc_id
+LIMIT 200
+"""
+
+    # PII redaction: inject the same deterministic PII, redact with the
+    # same patterns ('g' = replace-all, Spark's default), sha the result
+    sql["text_redact"] = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' mail u' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' ip 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.7'
+                 ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(
+           t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+           AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(
+           t, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ips,
+       sha256(regexp_replace(
+           regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                          '<EMAIL>', 'g'),
+           '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g')) AS redacted_sha
+FROM aug
+"""
 
     sql["embedding_knn"] = """
 WITH scored AS (

@@ -62,6 +62,37 @@ def word_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFram
     )
 
 
+def contamination_scores(
+    docs: DataFrame, bench: DataFrame, text_col: str = "text", k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: per candidate doc, the fraction of
+    its distinct k-word shingles that appear ANYWHERE in the benchmark
+    set — the standard n-gram-overlap test for scrubbing eval data out
+    of a training corpus.
+
+    100 TB shape: no pairwise doc×bench blowup — the benchmark shingle
+    set is tiny next to the corpus (evals are thousands of docs, the
+    corpus billions), so the overlap is one equi-join of the corpus
+    shingle table against a distinct (broadcastable) benchmark shingle
+    set, then a per-doc aggregate with map-side partials.
+
+    Returns (doc_id, n_shingles, n_hit, contamination) for every
+    candidate doc; filter/threshold downstream.
+    """
+    sh = word_shingles(docs, text_col, k)
+    bsh = (word_shingles(bench, text_col, k)
+           .select("shingle").distinct().withColumn("__hit", F.lit(1)))
+    return (
+        sh.join(bsh, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles"),
+             F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+             .cast("bigint").alias("n_hit"))
+        .withColumn("contamination",
+                    F.round(F.col("n_hit") / F.col("n_shingles"), 4))
+    )
+
+
 def jaccard_pairs(
     df: DataFrame, text_col: str = "text", k: int = 3,
     threshold: float = 0.5, max_df: int | None = None,

@@ -29,6 +29,30 @@ def portable_hash64_sql(expr: str, seed: int) -> str:
     return f"CAST(('0x' || substr(md5({expr} || '#{seed}'), 1, 15)) AS BIGINT)"
 
 
+# PII scrubbing patterns — kept to syntax Java regex and RE2 (DuckDB)
+# interpret identically so the oracle can mirror the redaction exactly
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub emails then IPv4 literals (order matters: an address can
+    embed digits-and-dots) — two JVM ``regexp_replace`` passes, zero
+    Python. At 100 TB this is a narrow projection over the text column;
+    whole-stage codegen keeps it inside the scan stage."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, IPV4_RE, "<IP>")
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_ips) found in ``text`` — audit metric for the
+    redaction pass."""
+    return (
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0)).cast("bigint"),
+        F.size(F.regexp_extract_all(text, F.lit(IPV4_RE), 0)).cast("bigint"),
+    )
+
+
 def token_count(text: Column) -> Column:
     return F.size(F.split(text, " "))
 
