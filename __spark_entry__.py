@@ -809,6 +809,32 @@ def q_text_redact(spark, sf):
     )
 
 
+def q_quality_repetition(spark, sf):
+    """Gopher-style repetition filters (functions/text.py): per doc the
+    top-word fraction and duplicate-3-gram fraction, plus the keep
+    decision at the published-style thresholds. One explode + two-level
+    aggregate — map-side combinable, no corpus-wide window."""
+    from parquet_producers_spark.functions.text import repetition_stats
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    s = repetition_stats(d)
+    return s.select(
+        "doc_id", "n_words", "top_word_frac", "dup_3gram_frac",
+        ((F.col("top_word_frac") <= 0.2) & (F.col("dup_3gram_frac") <= 0.6))
+        .cast("int").alias("keep"),
+    )
+
+
+def q_sequence_pack(spark, sf):
+    """Token-budget sequence packing (functions/splits.py): every doc
+    gets a deterministic (shard, bin, offset) in its (lang, shard)
+    stream — the window runs per shard, never corpus-wide."""
+    from parquet_producers_spark.functions.splits import sequence_pack
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "text")
+    return sequence_pack(d, budget=2048, n_shards=8)
+
+
 def q_embedding_knn(spark, sf):
     from parquet_producers_spark.functions.similarity import cosine_topk
 
@@ -1065,6 +1091,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow_fp": q_text_winnow_fp,
         "text_redact": q_text_redact,
         "decontaminate": q_decontaminate,
+        "quality_repetition": q_quality_repetition,
+        "sequence_pack": q_sequence_pack,
         "embedding_knn": q_embedding_knn,
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "embedding_ivf": q_embedding_ivf,
@@ -1614,6 +1642,59 @@ FROM scores
 WHERE n_hit > 0
 ORDER BY contamination DESC, doc_id
 LIMIT 200
+"""
+
+    # Gopher-style repetition metrics: same shingle construction as
+    # jaccard for the 3-gram side; word freqs re-derived directly
+    sql["quality_repetition"] = f"""
+WITH {_SHINGLES_SQL},
+words AS (
+  SELECT doc_id, w, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY doc_id, w
+),
+wf AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words, MAX(c) AS top_word
+  FROM words GROUP BY doc_id
+),
+tri AS (
+  SELECT doc_id, COUNT(*) AS n_distinct_3g FROM shingles GROUP BY doc_id
+),
+tot AS (
+  SELECT doc_id,
+         GREATEST(len(string_split(text, ' ')) - 2, 1) AS n_3g
+  FROM documents
+)
+SELECT d.doc_id, wf.n_words,
+       ROUND(wf.top_word * 1.0 / wf.n_words, 4) AS top_word_frac,
+       ROUND(1 - tri.n_distinct_3g * 1.0 / tot.n_3g, 4) AS dup_3gram_frac,
+       CASE WHEN ROUND(wf.top_word * 1.0 / wf.n_words, 4) <= 0.2
+             AND ROUND(1 - tri.n_distinct_3g * 1.0 / tot.n_3g, 4) <= 0.6
+            THEN 1 ELSE 0 END AS keep
+FROM documents d
+JOIN wf ON d.doc_id = wf.doc_id
+JOIN tri ON d.doc_id = tri.doc_id
+JOIN tot ON d.doc_id = tot.doc_id
+"""
+
+    # sequence packing: same running-sum window per (lang, shard);
+    # unique doc_id ordering makes the cumulative sums engine-identical
+    sql["sequence_pack"] = """
+WITH t AS (
+  SELECT doc_id, lang, CAST(doc_id % 8 AS INT) AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+  FROM t
+)
+SELECT doc_id, lang, shard, n_tokens,
+       CAST(start // 2048 AS BIGINT) AS bin_id,
+       CAST(start % 2048 AS BIGINT) AS bin_offset
+FROM c
 """
 
     # PII redaction: inject the same deterministic PII, redact with the

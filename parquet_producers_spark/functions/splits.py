@@ -13,7 +13,7 @@ oracle-verifiable and free of Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .text import portable_hash64, portable_hash64_sql
 
@@ -76,3 +76,38 @@ def assign_split(
     fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
     return df.withColumn(out_col, split_expr(F.col(key_col), fractions,
                                              seed))
+
+
+def sequence_pack(
+    df: DataFrame, budget: int, n_shards: int = 8,
+    text_col: str = "text", lang_col: str = "lang",
+) -> DataFrame:
+    """Token-budget sequence packing — assign each doc a (pack bin,
+    offset) so a trainer can assemble fixed-size sequences without a
+    second pass. Streaming first-fit in deterministic doc order: a
+    doc starts at the running token offset of its (lang, shard)
+    stream; its bin is ``offset // budget``. Docs longer than the
+    budget occupy their own bin(s), like any packer must.
+
+    Scale shape: the only window runs PER (lang, shard) — shard is a
+    portable ``doc_id % n_shards``, so no corpus-wide single-partition
+    window (the classic sequence-packing scale trap); shards pack
+    independently on every executor.
+    """
+    toks = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    shard = (F.col("doc_id") % n_shards).cast("int")
+    w = (
+        Window.partitionBy(lang_col, "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.select(
+        "doc_id", F.col(lang_col).alias("lang"), shard.alias("shard"),
+        toks.alias("n_tokens"),
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return out.select(
+        "doc_id", "lang", "shard", "n_tokens",
+        (start / budget).cast("bigint").alias("bin_id"),
+        (start % budget).cast("bigint").alias("bin_offset"),
+    )

@@ -53,6 +53,49 @@ def pii_counts(text: Column) -> tuple[Column, Column]:
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition metrics per doc (public Gopher/MassiveText
+    filtering rules — repetition is the strongest cheap signal of
+    low-quality machine-generated text):
+
+    * ``top_word_frac`` — occurrences of the most frequent word / total
+      words (Gopher: drop if a single word dominates);
+    * ``dup_3gram_frac`` — 1 − distinct/total 3-gram occurrences
+      (Gopher's duplicate n-gram fraction).
+
+    Shape: one explode + two-level aggregate; everything map-side
+    combinable, no window over the whole corpus, no Python.
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = df.select("doc_id", F.explode(toks).alias("w"))
+    word_freqs = (
+        base.groupBy("doc_id", "w").count()
+        .groupBy("doc_id")
+        .agg(F.sum("count").alias("n_words"),
+             F.max("count").alias("top_word"))
+    )
+    from .dedup import word_shingles
+
+    tri = (
+        word_shingles(df, text_col, k=3)
+        .groupBy("doc_id").agg(F.count("*").alias("n_distinct_3g"))
+    )
+    out = (
+        df.select("doc_id", F.greatest(F.size(toks) - 2, F.lit(1))
+                  .alias("n_3g"))
+        .join(word_freqs, "doc_id")
+        .join(tri, "doc_id")
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.round(F.col("top_word") / F.col("n_words"), 4)
+        .alias("top_word_frac"),
+        F.round(1 - F.col("n_distinct_3g") / F.col("n_3g"), 4)
+        .alias("dup_3gram_frac"),
+    )
+
+
 def token_count(text: Column) -> Column:
     return F.size(F.split(text, " "))
 

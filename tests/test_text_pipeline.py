@@ -39,3 +39,41 @@ def test_contamination_scores_fraction_of_bench_shingles(spark):
     assert rows[10]["n_shingles"] == 3 and rows[10]["n_hit"] == 1
     assert abs(rows[10]["contamination"] - round(1 / 3, 4)) < 1e-9
     assert rows[11]["n_hit"] == 0 and rows[11]["contamination"] == 0.0
+
+
+def test_repetition_stats_known_values(spark):
+    from parquet_producers_spark.functions.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a a a b"),          # top word 4/5, 3-grams: aaa,aaa,aab → 2/3 distinct
+         (2, "p q r s t")],         # all distinct
+        "doc_id int, text string")
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert rows[1]["n_words"] == 5
+    assert rows[1]["top_word_frac"] == 0.8
+    assert rows[1]["dup_3gram_frac"] == round(1 - 2 / 3, 4)
+    assert rows[2]["top_word_frac"] == 0.2
+    assert rows[2]["dup_3gram_frac"] == 0.0
+
+
+def test_sequence_pack_bins_and_offsets(spark):
+    from parquet_producers_spark.functions.splits import sequence_pack
+
+    # one lang, one shard (n_shards=1): docs of 3,4,2 tokens, budget 5
+    df = spark.createDataFrame(
+        [(0, "en", "a b c"), (1, "en", "d e f g"), (2, "en", "h i")],
+        "doc_id long, lang string, text string")
+    rows = {r["doc_id"]: r
+            for r in sequence_pack(df, budget=5, n_shards=1).collect()}
+    # starts: 0, 3, 7 → bins 0, 0, 1; offsets 0, 3, 2
+    assert (rows[0]["bin_id"], rows[0]["bin_offset"]) == (0, 0)
+    assert (rows[1]["bin_id"], rows[1]["bin_offset"]) == (0, 3)
+    assert (rows[2]["bin_id"], rows[2]["bin_offset"]) == (1, 2)
+    # a doc longer than the budget still gets a deterministic slot
+    big = spark.createDataFrame(
+        [(0, "en", " ".join(["w"] * 12)), (1, "en", "x y")],
+        "doc_id long, lang string, text string")
+    rows = {r["doc_id"]: r
+            for r in sequence_pack(big, budget=5, n_shards=1).collect()}
+    assert (rows[0]["bin_id"], rows[0]["bin_offset"]) == (0, 0)
+    assert (rows[1]["bin_id"], rows[1]["bin_offset"]) == (2, 2)  # start 12
