@@ -355,3 +355,29 @@ def test_connected_components_chain_and_singletons(spark):
     want = {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
             (10, 10), (11, 10), (99, 99)}
     assert got == want
+
+
+def test_decontaminate_no_cartesian(spark, docs):
+    """Contamination scoring is an equi-join of corpus shingles against
+    the distinct benchmark shingle set — never a doc×bench cartesian."""
+    from parquet_producers_spark.functions.dedup import contamination_scores
+
+    d = docs.select("doc_id", "text").limit(200)
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    plan = _plan(contamination_scores(d, bench))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_sequence_pack_window_is_sharded(spark, docs):
+    """The packing window must be partitioned by (lang, shard) — a
+    corpus-wide SinglePartition window is the classic packing scale
+    trap."""
+    from parquet_producers_spark.functions.splits import sequence_pack
+
+    d = docs.select("doc_id", "lang", "text")
+    plan = _plan(sequence_pack(d, budget=2048, n_shards=8))
+    for line in plan.splitlines():
+        if "Exchange SinglePartition" in line:
+            raise AssertionError(f"corpus-wide window exchange:\n{plan}")
+    assert "Window" in plan
