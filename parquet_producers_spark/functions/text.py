@@ -63,36 +63,46 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     * ``dup_3gram_frac`` — 1 − distinct/total 3-gram occurrences
       (Gopher's duplicate n-gram fraction).
 
-    Shape: one explode + two-level aggregate; everything map-side
-    combinable, no window over the whole corpus, no Python.
+    Shape: ZERO shuffle — both metrics are per-row array expressions
+    (the top-word count is the longest run in the sorted token array;
+    distinct 3-grams via ``array_distinct``), so the whole op stays in
+    the scan stage's codegen. The naive explode → groupBy(doc, word)
+    shape would shuffle one row per word occurrence — at 100 TB that's
+    the dominant cost of the filter pass; this costs none
+    (plan-asserted in tests/test_scale_shapes.py).
     """
     toks = F.split(F.col(text_col), " ")
-    base = df.select("doc_id", F.explode(toks).alias("w"))
-    word_freqs = (
-        base.groupBy("doc_id", "w").count()
-        .groupBy("doc_id")
-        .agg(F.sum("count").alias("n_words"),
-             F.max("count").alias("top_word"))
+    sorted_toks = F.array_sort(toks)
+    # longest run in the sorted array == max word frequency
+    run_state = F.aggregate(
+        sorted_toks,
+        F.struct(F.lit(0).alias("best"), F.lit(0).alias("cur"),
+                 F.lit(None).cast("string").alias("prev")),
+        lambda acc, x: F.struct(
+            F.greatest(
+                acc.best,
+                F.when(x.eqNullSafe(acc.prev), acc.cur + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+            F.when(x.eqNullSafe(acc.prev), acc.cur + 1).otherwise(F.lit(1))
+            .alias("cur"),
+            x.alias("prev"),
+        ),
     )
-    from .dedup import word_shingles
-
-    tri = (
-        word_shingles(df, text_col, k=3)
-        .groupBy("doc_id").agg(F.count("*").alias("n_distinct_3g"))
+    k = 3
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    shingles = F.filter(
+        F.array_distinct(F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))),
+        lambda s: F.length(s) > 0,
     )
-    out = (
-        df.select("doc_id", F.greatest(F.size(toks) - 2, F.lit(1))
-                  .alias("n_3g"))
-        .join(word_freqs, "doc_id")
-        .join(tri, "doc_id")
-    )
-    return out.select(
+    return df.select(
         "doc_id",
-        F.col("n_words").cast("bigint").alias("n_words"),
-        F.round(F.col("top_word") / F.col("n_words"), 4)
-        .alias("top_word_frac"),
-        F.round(1 - F.col("n_distinct_3g") / F.col("n_3g"), 4)
-        .alias("dup_3gram_frac"),
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.round(run_state.best / F.size(toks), 4).alias("top_word_frac"),
+        F.round(
+            1 - F.size(shingles)
+            / F.greatest(F.size(toks) - 2, F.lit(1)), 4,
+        ).alias("dup_3gram_frac"),
     )
 
 

@@ -381,3 +381,13 @@ def test_sequence_pack_window_is_sharded(spark, docs):
         if "Exchange SinglePartition" in line:
             raise AssertionError(f"corpus-wide window exchange:\n{plan}")
     assert "Window" in plan
+
+
+def test_repetition_stats_no_shuffle(spark, docs):
+    """Repetition metrics are pure per-row array expressions — the plan
+    must contain NO Exchange at all (the explode→groupBy alternative
+    shuffles one row per word occurrence)."""
+    from parquet_producers_spark.functions.text import repetition_stats
+
+    plan = _plan(repetition_stats(docs.select("doc_id", "text")))
+    assert "Exchange" not in plan, plan
