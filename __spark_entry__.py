@@ -812,8 +812,9 @@ def q_text_redact(spark, sf):
 def q_quality_repetition(spark, sf):
     """Gopher-style repetition filters (functions/text.py): per doc the
     top-word fraction and duplicate-3-gram fraction, plus the keep
-    decision at the published-style thresholds. One explode + two-level
-    aggregate — map-side combinable, no corpus-wide window."""
+    decision at the published-style thresholds. Zero shuffle: both
+    metrics are per-row array expressions (top-word count = longest run
+    in the sorted token array), plan-asserted Exchange-free."""
     from parquet_producers_spark.functions.text import repetition_stats
 
     d = _t(spark, sf, "documents").select("doc_id", "text")
