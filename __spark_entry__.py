@@ -836,6 +836,27 @@ def q_sequence_pack(spark, sf):
     return sequence_pack(d, budget=2048, n_shards=8)
 
 
+_SAMPLE_RATES = {"en": 0.3, "zh": 0.8}  # downsample the dominant langs
+
+
+def q_corpus_rebalance(spark, sf):
+    """Per-language stratified downsampling (functions/splits.py):
+    rebalance the skewed language mix by keeping each doc iff its
+    portable hash falls under its language's rate — deterministic
+    across runs, engines, and parallelism; the filter rides the scan
+    (no shuffle). Returns the per-lang survivor counts plus a sample
+    id-sum so the oracle pins exactly WHICH docs survived."""
+    from parquet_producers_spark.functions.splits import stratified_sample
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    kept = stratified_sample(d, _SAMPLE_RATES)
+    return (
+        kept.groupBy("lang")
+        .agg(F.count("*").alias("n_kept"),
+             F.sum("doc_id").cast("bigint").alias("id_sum"))
+    )
+
+
 def q_embedding_knn(spark, sf):
     from parquet_producers_spark.functions.similarity import cosine_topk
 
@@ -1094,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "quality_repetition": q_quality_repetition,
         "sequence_pack": q_sequence_pack,
+        "corpus_rebalance": q_corpus_rebalance,
         "embedding_knn": q_embedding_knn,
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "embedding_ivf": q_embedding_ivf,
@@ -1676,6 +1698,17 @@ FROM documents d
 JOIN wf ON d.doc_id = wf.doc_id
 JOIN tri ON d.doc_id = tri.doc_id
 JOIN tot ON d.doc_id = tot.doc_id
+"""
+
+    # stratified rebalance: the WHERE clause is the exact SQL mirror of
+    # the Spark-side hash-threshold filter (same rates, same seed)
+    from parquet_producers_spark.functions.splits import stratified_sample_sql
+
+    sql["corpus_rebalance"] = f"""
+SELECT lang, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM documents
+WHERE {stratified_sample_sql(_SAMPLE_RATES)}
+GROUP BY lang
 """
 
     # sequence packing: same running-sum window per (lang, shard);

@@ -111,3 +111,35 @@ def sequence_pack(
         (start / budget).cast("bigint").alias("bin_id"),
         (start % budget).cast("bigint").alias("bin_offset"),
     )
+
+
+def stratified_sample(
+    df: DataFrame, rates: dict[str, float], key_col: str = "doc_id",
+    lang_col: str = "lang", default_rate: float = 1.0, seed: int = 23,
+) -> DataFrame:
+    """Deterministic per-language downsampling — rebalance a corpus
+    whose language mix is skewed (the usual case: one dominant
+    language) by keeping each doc iff its portable hash falls under
+    its language's rate. Pure column expression: reproducible across
+    runs and engines, no RNG state, no shuffle (the filter rides the
+    scan), and the SAME doc survives at any parallelism.
+    """
+    bucket = F.pmod(portable_hash64(F.col(key_col).cast("string"), seed),
+                    F.lit(SPLIT_BUCKETS))
+    rate = F.lit(int(round(default_rate * SPLIT_BUCKETS)))
+    for lang, r in sorted(rates.items()):
+        rate = F.when(F.col(lang_col) == lang,
+                      F.lit(int(round(r * SPLIT_BUCKETS)))).otherwise(rate)
+    return df.filter(bucket < rate)
+
+
+def stratified_sample_sql(rates: dict[str, float], key_expr: str = "doc_id",
+                          lang_expr: str = "lang",
+                          default_rate: float = 1.0, seed: int = 23) -> str:
+    """WHERE-clause mirror of :func:`stratified_sample` for the oracle."""
+    cases = " ".join(
+        f"WHEN {lang_expr} = '{lang}' THEN {int(round(r * SPLIT_BUCKETS))}"
+        for lang, r in sorted(rates.items()))
+    h = portable_hash64_sql(f"CAST({key_expr} AS VARCHAR)", seed)
+    return (f"({h} % {SPLIT_BUCKETS} + {SPLIT_BUCKETS}) % {SPLIT_BUCKETS}"
+            f" < CASE {cases} ELSE {int(round(default_rate * SPLIT_BUCKETS))} END")

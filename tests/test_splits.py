@@ -56,3 +56,21 @@ def test_split_by_component_has_no_leakage(spark, sf_dir):
     multi = (assigned.groupBy("component_id").count()
              .filter(F.col("count") > 1).count())
     assert multi > 0
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from parquet_producers_spark.functions.splits import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr") for i in range(4000)],
+        "doc_id long, lang string")
+    kept = stratified_sample(df, {"en": 0.25}, default_rate=1.0)
+    counts = {r["lang"]: r["n"] for r in
+              kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["fr"] == 2000                      # default rate 1.0
+    assert abs(counts["en"] / 2000 - 0.25) < 0.05    # ~rate, hash-exact set
+    # deterministic: same ids at any parallelism
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(r["doc_id"] for r in
+               stratified_sample(df.repartition(13), {"en": 0.25}).collect())
+    assert a == b
