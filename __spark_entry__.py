@@ -1146,9 +1146,11 @@ shingles AS (
            array_to_string(toks[i:i+2], ' ') AS shingle
     FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          LATERAL (SELECT unnest(range(1, GREATEST(len(toks) - 2, 1) + 1)) AS i)
-  ) GROUP BY doc_id, shingle
+  ) WHERE len(shingle) > 0 GROUP BY doc_id, shingle
 )
 """
+# len(shingle) > 0 mirrors word_shingles' zero-length filter — keeps
+# the two engines aligned on degenerate (empty/whitespace) docs
 
 
 def _minhash_sql(h: int, doc_filter: str = "TRUE") -> str:
@@ -1690,13 +1692,15 @@ tot AS (
 )
 SELECT d.doc_id, wf.n_words,
        ROUND(wf.top_word * 1.0 / wf.n_words, 4) AS top_word_frac,
-       ROUND(1 - tri.n_distinct_3g * 1.0 / tot.n_3g, 4) AS dup_3gram_frac,
+       ROUND(1 - COALESCE(tri.n_distinct_3g, 0) * 1.0 / tot.n_3g, 4)
+           AS dup_3gram_frac,
        CASE WHEN ROUND(wf.top_word * 1.0 / wf.n_words, 4) <= 0.2
-             AND ROUND(1 - tri.n_distinct_3g * 1.0 / tot.n_3g, 4) <= 0.6
+             AND ROUND(1 - COALESCE(tri.n_distinct_3g, 0) * 1.0 / tot.n_3g, 4)
+                 <= 0.6
             THEN 1 ELSE 0 END AS keep
 FROM documents d
 JOIN wf ON d.doc_id = wf.doc_id
-JOIN tri ON d.doc_id = tri.doc_id
+LEFT JOIN tri ON d.doc_id = tri.doc_id
 JOIN tot ON d.doc_id = tot.doc_id
 """
 
@@ -1732,8 +1736,11 @@ FROM c
 """
 
     # PII redaction: inject the same deterministic PII, redact with the
-    # same patterns ('g' = replace-all, Spark's default), sha the result
-    sql["text_redact"] = r"""
+    # SAME pattern constants the Spark side uses ('g' = replace-all,
+    # Spark's default) — interpolated, so the contract can't drift
+    from parquet_producers_spark.functions.text import EMAIL_RE, IPV4_RE
+
+    sql["text_redact"] = f"""
 WITH aug AS (
   SELECT doc_id,
          text
@@ -1746,15 +1753,11 @@ WITH aug AS (
   FROM documents
 )
 SELECT doc_id,
-       CAST(len(regexp_extract_all(
-           t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-           AS BIGINT) AS n_emails,
-       CAST(len(regexp_extract_all(
-           t, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{IPV4_RE}')) AS BIGINT) AS n_ips,
        sha256(regexp_replace(
-           regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-                          '<EMAIL>', 'g'),
-           '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g')) AS redacted_sha
+           regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+           '{IPV4_RE}', '<IP>', 'g')) AS redacted_sha
 FROM aug
 """
 

@@ -49,17 +49,23 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def shingle_array(toks, k: int = 3):
+    """Array of distinct non-empty k-word shingles for a token-array
+    column — THE shingle definition every Spark site shares (and the
+    `_SHINGLES_SQL` oracle CTE mirrors), so engines can never drift on
+    degenerate docs."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    return F.filter(
+        F.array_distinct(F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))),
+        lambda s: F.length(s) > 0,
+    )
+
+
 def word_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     """Distinct k-word shingles per doc: (doc_id, shingle)."""
-    toks = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
-    sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
-    )
-    return (
-        df.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
-        .filter(F.length("shingle") > 0)
-    )
+    sh = shingle_array(F.split(F.col(text_col), " "), k)
+    return df.select("doc_id", F.explode(sh).alias("shingle"))
 
 
 def contamination_scores(

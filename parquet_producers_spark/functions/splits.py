@@ -96,8 +96,10 @@ def sequence_pack(
     """
     toks = F.size(F.split(F.col(text_col), " ")).cast("bigint")
     shard = (F.col("doc_id") % n_shards).cast("int")
+    # partition by the ALIASED names: the window resolves against the
+    # select below, where lang_col is already renamed to "lang"
     w = (
-        Window.partitionBy(lang_col, "shard")
+        Window.partitionBy("lang", "shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -138,7 +140,9 @@ def stratified_sample_sql(rates: dict[str, float], key_expr: str = "doc_id",
                           default_rate: float = 1.0, seed: int = 23) -> str:
     """WHERE-clause mirror of :func:`stratified_sample` for the oracle."""
     cases = " ".join(
-        f"WHEN {lang_expr} = '{lang}' THEN {int(round(r * SPLIT_BUCKETS))}"
+        "WHEN {} = '{}' THEN {}".format(
+            lang_expr, lang.replace("'", "''"),
+            int(round(r * SPLIT_BUCKETS)))
         for lang, r in sorted(rates.items()))
     h = portable_hash64_sql(f"CAST({key_expr} AS VARCHAR)", seed)
     return (f"({h} % {SPLIT_BUCKETS} + {SPLIT_BUCKETS}) % {SPLIT_BUCKETS}"

@@ -88,13 +88,9 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             x.alias("prev"),
         ),
     )
-    k = 3
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
-    shingles = F.filter(
-        F.array_distinct(F.transform(
-            idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))),
-        lambda s: F.length(s) > 0,
-    )
+    from .dedup import shingle_array
+
+    shingles = shingle_array(toks, k=3)
     return df.select(
         "doc_id",
         F.size(toks).cast("bigint").alias("n_words"),

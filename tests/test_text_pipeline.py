@@ -77,3 +77,25 @@ def test_sequence_pack_bins_and_offsets(spark):
             for r in sequence_pack(big, budget=5, n_shards=1).collect()}
     assert (rows[0]["bin_id"], rows[0]["bin_offset"]) == (0, 0)
     assert (rows[1]["bin_id"], rows[1]["bin_offset"]) == (2, 2)  # start 12
+
+
+def test_degenerate_docs_shingle_alignment(spark):
+    """Empty/whitespace docs: every Spark shingle site drops zero-length
+    shingles (the oracle CTE mirrors this) — repetition stats stay
+    defined and deterministic."""
+    from parquet_producers_spark.functions.dedup import word_shingles
+    from parquet_producers_spark.functions.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, " "), (3, "only two")], "doc_id int, text string")
+    # empty text → zero shingles; " " → two empty tokens join to the
+    # single shingle " " (concat_ws keeps empties — DuckDB's
+    # array_to_string does the same, so the engines agree)
+    assert word_shingles(df).filter(F.col("doc_id") == 1).count() == 0
+    got2 = word_shingles(df).filter(F.col("doc_id") == 2).collect()
+    assert [r["shingle"] for r in got2] == [" "]
+    assert (word_shingles(df).filter(F.col("doc_id") == 3).collect()[0]
+            ["shingle"] == "only two")
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert rows[1]["dup_3gram_frac"] == 1.0   # no informative shingles
+    assert rows[3]["dup_3gram_frac"] == 0.0   # its one shingle is distinct
