@@ -857,6 +857,44 @@ def q_corpus_rebalance(spark, sf):
     )
 
 
+def q_corpus_assembly(spark, sf):
+    """The dataset-assembly tail of the pipeline in ONE plan:
+    stratified rebalance (hash-threshold filter rides the scan) →
+    train/val split (pure hash projection) → token-budget packing of
+    the train docs (window per (lang, shard)). Per (split, lang):
+    doc/token totals and, for train, how many packed bins result.
+    Every step is engine-portable hash/window math — the oracle
+    re-derives the whole chain."""
+    from parquet_producers_spark.functions.splits import (
+        assign_split,
+        sequence_pack,
+        stratified_sample,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "text")
+    kept = assign_split(stratified_sample(d, _SAMPLE_RATES), "doc_id",
+                        {"train": 0.9, "val": 0.1})
+    packed = sequence_pack(kept.filter(F.col("split") == "train"),
+                           budget=2048, n_shards=8)
+    train = (
+        packed.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tokens").alias("total_tokens"),
+             F.countDistinct("shard", "bin_id").alias("n_bins"))
+        .withColumn("split", F.lit("train"))
+    )
+    val = (
+        kept.filter(F.col("split") == "val")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.size(F.split(F.col("text"), " ")).cast("bigint"))
+             .alias("total_tokens"))
+        .withColumn("n_bins", F.lit(0).cast("bigint"))
+        .withColumn("split", F.lit("val"))
+    )
+    return train.unionByName(val)
+
+
 def q_embedding_knn(spark, sf):
     from parquet_producers_spark.functions.similarity import cosine_topk
 
@@ -1116,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_repetition": q_quality_repetition,
         "sequence_pack": q_sequence_pack,
         "corpus_rebalance": q_corpus_rebalance,
+        "corpus_assembly": q_corpus_assembly,
         "embedding_knn": q_embedding_knn,
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "embedding_ivf": q_embedding_ivf,
@@ -1713,6 +1752,45 @@ SELECT lang, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
 FROM documents
 WHERE {stratified_sample_sql(_SAMPLE_RATES)}
 GROUP BY lang
+"""
+
+    # dataset-assembly chain: rebalance predicate + split CASE + the
+    # packing window, all re-derived from the same portable hash math
+    from parquet_producers_spark.functions.splits import split_sql
+
+    sql["corpus_assembly"] = f"""
+WITH kept AS (
+  SELECT doc_id, lang, text,
+         {split_sql('doc_id', {"train": 0.9, "val": 0.1})} AS split
+  FROM documents
+  WHERE {stratified_sample_sql(_SAMPLE_RATES)}
+),
+t AS (
+  SELECT doc_id, lang, CAST(doc_id % 8 AS INT) AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM kept WHERE split = 'train'
+),
+c AS (
+  SELECT lang, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+  FROM t
+),
+train AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(COUNT(DISTINCT shard + 8 * (start // 2048)) AS BIGINT)
+             AS n_bins,
+         'train' AS split
+  FROM c GROUP BY lang
+),
+val AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+         CAST(0 AS BIGINT) AS n_bins, 'val' AS split
+  FROM kept WHERE split = 'val' GROUP BY lang
+)
+SELECT * FROM train UNION ALL SELECT * FROM val
 """
 
     # sequence packing: same running-sum window per (lang, shard);
