@@ -504,6 +504,8 @@ def q_codec_maintenance(spark, sf):
     aggregates over the raw table; ``compacted`` and ``runts_reduced``
     pin that the gate actually fired and shrank the runt population
     (deterministic at every gate sf with min_runt_fraction=0.05)."""
+    import os
+    import shutil
     import tempfile
 
     from parquet_producers_spark.compaction import compact_if_needed
@@ -511,7 +513,12 @@ def q_codec_maintenance(spark, sf):
     from parquet_producers_spark.encoder import decode_chunks
 
     _ensure_pkg(spark)
-    root = tempfile.mkdtemp(prefix="pps_maint_")  # kept: driver collects lazily
+    # fixed scratch path, wiped before each build (same pattern as
+    # q_snapshot_incremental): repeated gate/bench runs overwrite
+    # instead of leaking a new mkdtemp per call. NOT cleaned after
+    # return — the driver collects the returned lazy DataFrame later.
+    root = os.path.join(tempfile.gettempdir(), "pps_maint_scratch")
+    shutil.rmtree(root, ignore_errors=True)
     docs = _t(spark, sf, "documents")
     encode_run(spark, docs, root, "docs", version=1, sort_cols=["doc_id"],
                n_slices=3, chunk_rows=512, partitions_per_slice=2)

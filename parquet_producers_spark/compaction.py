@@ -79,7 +79,7 @@ def compact_chunks(
         raise ValueError(
             f"compact_chunks operates on one stored table; layout columns "
             f"{layout_cols} present — filter to a single slice first")
-    threshold = runt_threshold or chunk_rows
+    threshold = chunk_rows if runt_threshold is None else runt_threshold
 
     survivors = chunks.filter(F.col("n_rows") >= threshold)
     runts = chunks.filter(F.col("n_rows") < threshold)
@@ -159,7 +159,7 @@ def compact_stage(
     # with custom chunk_rows as 100% runts just because the caller used
     # the default (same manifest-is-authoritative rule as slice_col)
     chunk_rows = chunk_rows or int(base.get("chunk_rows") or CHUNK_ROWS)
-    threshold = runt_threshold or chunk_rows
+    threshold = chunk_rows if runt_threshold is None else runt_threshold
     new_version = version + 1
     out_dir = stage_dir(root, stage, new_version, "chunks")
 
@@ -279,7 +279,8 @@ def compact_if_needed(
     if chunk_rows is None:
         base = st.read_json(manifest_path(root, stage, version, 0))
         chunk_rows = int(base.get("chunk_rows") or CHUNK_ROWS)
-    threshold = kwargs.get("runt_threshold") or chunk_rows
+    threshold = (chunk_rows if kwargs.get("runt_threshold") is None
+                 else kwargs["runt_threshold"])
     stats = (
         read_chunks(spark, root, stage, version)
         .select("slice_id", "part_id", "chunk_seq", "n_rows").distinct()

@@ -319,9 +319,18 @@ def connected_components(
         .localCheckpoint(eager=False)  # reused every round
     )
     if vertices is None:
+        requested = None
         verts = edges.select(F.col("a").alias("v")).distinct()
     else:
-        verts = vertices.select(F.col(id_col).alias("v")).distinct()
+        requested = vertices.select(F.col(id_col).alias("v")).distinct()
+        # propagate over the FULL endpoint set: an endpoint missing
+        # from the caller's frame must still CONDUCT connectivity —
+        # dropping it would silently sever components (and downstream,
+        # leak severed near-dups across dataset splits). The caller's
+        # vertex set only restricts the OUTPUT, below.
+        verts = (requested
+                 .unionByName(edges.select(F.col("a").alias("v")))
+                 .distinct())
     labels = verts.select("v", F.col("v").alias("c")).localCheckpoint(
         eager=True)
     for _ in range(max_iter):
@@ -359,5 +368,7 @@ def connected_components(
     else:
         raise RuntimeError(
             f"connected_components: no fixpoint in {max_iter} rounds")
+    if requested is not None:
+        labels = labels.join(requested, "v", "left_semi")
     return labels.select(F.col("v").alias(id_col),
                          F.col("c").alias("component_id"))

@@ -184,6 +184,17 @@ def ivf_topk(
     # n_probe, explode — fan-out ×n_probe, not ×n_centroids
     cent_rows = [(int(r["cl"]), [float(x) for x in r["cvec"]])
                  for r in cents.collect()]
+    if not cent_rows:
+        # empty index (ivf_assign degraded on a seed-less corpus):
+        # an empty literal array types as array<void> and the __e.cl
+        # extraction fails ANALYSIS — return the empty result the old
+        # crossJoin formulation produced instead
+        return p.select(
+            "probe_id",
+            F.lit(None).cast("bigint").alias("nbr_id"),
+            F.lit(None).cast("double").alias("cosine"),
+            F.lit(None).cast("int").alias("rank"),
+        ).limit(0)
     scored_arr = F.sort_array(F.array(*[
         F.struct(
             _sq_l2(F.col("probe_vec"), F.array(*[F.lit(x) for x in cvec])

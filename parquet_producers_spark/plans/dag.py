@@ -90,17 +90,31 @@ class Pipeline:
                 return v
         return 0
 
-    def _txn_path(self, version: int) -> str:
-        return posixpath.join(self.root, f"_txn/v={version}.json")
+    def _txn_path(self, version: int, txn_id: str | None = None) -> str:
+        name = (f"v={version}.{txn_id}.json" if txn_id
+                else f"v={version}.json")
+        return posixpath.join(self.root, "_txn", name)
 
     def _txn_stages(self, version: int) -> list[str]:
-        """Stages committed at this version. Membership matters, not
-        just manifest existence: two INDEPENDENT transactions (disjoint
-        roots) can both produce a v=N — a crash in the second must not
-        become visible through the first's manifest."""
-        if not self.store.exists(self._txn_path(version)):
-            return []
-        return self.store.read_json(self._txn_path(version)).get("stages", [])
+        """Stages committed at this version — the UNION over every
+        per-transaction manifest ``_txn/v=N.<txnid>.json`` (plus the
+        legacy single-file name). Manifests are WRITE-ONCE per
+        (version, txn): independent transactions sharing a version
+        number never rewrite each other's manifest, so there is no
+        read window where a committed transaction is invisible (the
+        old union-rewrite had one on stores whose atomic write is
+        delete+rename). Membership matters, not just existence: a
+        crash in one transaction must not become visible through
+        another's manifest."""
+        stages: set[str] = set()
+        for entry in self.store.listdir(posixpath.join(self.root, "_txn")):
+            if entry == f"v={version}.json" or (
+                    entry.startswith(f"v={version}.")
+                    and entry.endswith(".json")):
+                m = self.store.read_json(
+                    posixpath.join(self.root, "_txn", entry))
+                stages.update(m.get("stages", []))
+        return sorted(stages)
 
     def _write(self, name: str, version: int, table: str, df: DataFrame,
                sort_cols: list | None = None) -> None:
@@ -225,16 +239,22 @@ class Pipeline:
 
         # COMMIT POINT: the atomic rename of this manifest is what makes
         # every stage's v=N+1 visible to version() — before it, a crash
-        # leaves the transaction entirely uncommitted. An independent
-        # earlier transaction (disjoint roots) may already own this
-        # version number: UNION the stage lists so its commits stay
-        # visible alongside ours.
-        prev_stages = self._txn_stages(new_version)
+        # leaves the transaction entirely uncommitted. The manifest is
+        # WRITE-ONCE per (version, txn): its name carries a
+        # deterministic id of THIS transaction's stage set, so an
+        # independent transaction that already owns this version number
+        # keeps its own manifest untouched (readers union all of them —
+        # no rewrite, no absence window on delete+rename stores). A
+        # re-run of the same stage set overwrites its own manifest
+        # idempotently.
+        import hashlib
+
+        txn_id = hashlib.sha1(
+            ",".join(sorted(order)).encode()).hexdigest()[:12]
         atomic_write_json(
-            self._txn_path(new_version),
+            self._txn_path(new_version, txn_id),
             {"version": new_version, "based_on": based_on,
-             "stages": sorted(set(prev_stages) | set(order)),
-             "timings_s": timings},
+             "stages": sorted(order), "timings_s": timings},
             store=self.store,
         )
         return new_version

@@ -99,3 +99,33 @@ def test_degenerate_docs_shingle_alignment(spark):
     rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
     assert rows[1]["dup_3gram_frac"] == 1.0   # no informative shingles
     assert rows[3]["dup_3gram_frac"] == 0.0   # its one shingle is distinct
+
+
+def test_connected_components_conducts_through_missing_vertices(spark):
+    """A pair-graph endpoint absent from the caller's vertex frame must
+    still conduct connectivity (A-X, X-B with X unlisted → A,B share a
+    component); the output stays restricted to the requested set."""
+    from parquet_producers_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 100), (100, 2)], "doc_a long, doc_b long")
+    verts = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    got = {r["doc_id"]: r["component_id"]
+           for r in connected_components(pairs, vertices=verts).collect()}
+    assert set(got) == {1, 2, 3}          # output = requested set only
+    assert got[1] == got[2] == 1          # connected THROUGH vertex 100
+    assert got[3] == 3                    # isolated maps to itself
+
+
+def test_ivf_topk_empty_centroids_returns_empty(spark):
+    """A corpus whose ids all exceed n_centroids yields no seed
+    centroids; ivf_topk must return an empty frame, not fail analysis
+    on an array<void> literal."""
+    from parquet_producers_spark.functions.similarity import ivf_topk
+
+    corpus = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    out = ivf_topk(corpus, corpus, k=2, n_centroids=8)
+    assert out.count() == 0
+    assert out.columns == ["probe_id", "nbr_id", "cosine", "rank"]

@@ -384,3 +384,12 @@ def test_independent_txn_crash_not_visible_through_other_manifest(
     v = p.update({"b": feed("world")}, based_on=0)
     assert v == 1
     assert p.version("b") == 1 and p.version("a") == 1
+
+    # write-once protocol: each transaction owns its own v=1.<txnid>
+    # manifest — committing b never rewrote (so never momentarily
+    # removed) a's manifest
+    import os
+
+    txn_files = sorted(os.listdir(str(tmp_path / "_txn")))
+    assert len(txn_files) == 2 and all(
+        f.startswith("v=1.") and f.endswith(".json") for f in txn_files)
