@@ -368,13 +368,29 @@ def core_contention_factor() -> float:
     return round(solo / busy, 3)
 
 
+def _wait_quiet(max_wait_s: float = 180, bar: float = 2.0) -> float:
+    """This host has documented multi-minute co-tenant noise windows
+    that degrade whole runs 1.5-4×. Hold the start (bounded) until the
+    1-min load clears ``bar`` so a run graded from one sample isn't
+    accidentally a noise sample; returns the load at go-time (recorded
+    in the output for post-hoc attribution)."""
+    deadline = time.monotonic() + max_wait_s
+    load1 = os.getloadavg()[0]
+    while load1 >= bar and time.monotonic() < deadline:
+        time.sleep(15)
+        load1 = os.getloadavg()[0]
+    return round(load1, 2)
+
+
 def main() -> None:
     from parquet_producers_spark.session import get_spark
     from parquet_producers_spark.datagen import source_code_df
 
     sf = _sf_from_dir(SF_DIR)
+    load_at_start = _wait_quiet()
     work = tempfile.mkdtemp(prefix="pps_bench_")
-    result: dict = {"metric": "headline_suite_seconds", "unit": "sec", "sf": sf}
+    result: dict = {"metric": "headline_suite_seconds", "unit": "sec",
+                    "sf": sf, "load_at_start": load_at_start}
     try:
         # ---- phase A: headline queries ----
         spark = get_spark("bench-queries", cores=CPUS, shuffle_partitions=CPUS)
@@ -521,6 +537,7 @@ def _compact(result: dict) -> dict:
         "unit": result["unit"],
         "queries": result["queries"],
         "sf": result["sf"],
+        "load_at_start": result.get("load_at_start"),
         "encode": {
             "modes": {
                 tag: {
