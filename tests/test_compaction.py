@@ -246,3 +246,27 @@ def test_compact_if_needed_uses_manifest_chunk_rows(spark, tmp_path):
     with open(manifest_path(root, "code", 2, 0)) as f:
         assert json.load(f)["chunk_rows"] == 192
     src.unpersist()
+
+
+@pytest.mark.parametrize("n_docs,chunk,parts", [
+    (700, 64, 5),    # many small partitions, heavy runt tail
+    (901, 128, 3),   # odd size, remainder-heavy
+    (256, 256, 2),   # partitions smaller than a chunk: all runts
+])
+def test_compaction_multiset_parametrized(spark, n_docs, chunk, parts):
+    """Across geometries (remainders, all-runt, mixed): compaction
+    preserves the exact row multiset and never collides chunk ids."""
+    from parquet_producers_spark.compaction import compact_chunks
+
+    src = source_code_df(spark, n_docs, seed=5, partitions=3)
+    chunks = encode_partitions(
+        src, sort_cols=["repo", "path"], partitions=parts, chunk_rows=chunk,
+    ).localCheckpoint(eager=True)
+    comp = compact_chunks(
+        chunks, sort_cols=["repo", "path"], chunk_rows=chunk, partitions=2,
+    ).localCheckpoint(eager=True)
+    assert _multiset(decode_chunks(comp, ordered=False)) == \
+        _multiset(decode_chunks(chunks, ordered=False))
+    # (part_id, chunk_seq, column) identities stay unique after rewrite
+    assert comp.select("part_id", "chunk_seq", "column").distinct().count() \
+        == comp.count()
