@@ -117,9 +117,16 @@ def read_snapshot(
     table_dir: str,
     snapshot_id: int | None = None,
     store: FileStore | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Manifest-driven scan: read exactly the files the snapshot lists
-    (never a directory listing). ``snapshot_id=None`` → latest."""
+    (never a directory listing). ``snapshot_id=None`` → latest.
+
+    ``merge_schema=True`` is the add-column evolution path (Iceberg's
+    schema evolution, scoped to additive changes): appended commits may
+    carry files with NEW columns; the scan unions the file schemas and
+    fills pre-evolution files with nulls — the standard parquet
+    ``mergeSchema`` semantics, driven from the manifest's file list."""
     store = store or LocalStore()
     snaps = list_snapshots(table_dir, store)
     if not snaps:
@@ -131,7 +138,10 @@ def read_snapshot(
     paths = [f["path"] for f in manifest["files"]]
     if not paths:
         return spark.createDataFrame([], schema=manifest["schema_ddl"])
-    return spark.read.parquet(*paths)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*paths)
 
 
 def snapshot_diff(

@@ -158,3 +158,24 @@ def test_snapshot_diff_drives_incremental_pipeline(spark, tmp_path):
         (w, int(r.doc_id), int(r.doc_id))
         for _, r in full.iterrows() for w in r.text.split(" "))
     assert got == want and len(want) == 10
+
+
+def test_schema_evolution_additive_merge(spark, tmp_path):
+    """Add-column evolution: a later append carries a new column; the
+    merged scan unions schemas and nulls the pre-evolution rows, and
+    time travel to the old snapshot still sees the old schema."""
+    t = str(tmp_path / "tbl")
+    old = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    s1 = commit_snapshot(spark, old, t)
+    new = spark.createDataFrame([(3, "c", 9.5)],
+                                "id int, v string, score double")
+    s2 = commit_snapshot(spark, new, t, mode="append")
+
+    merged = read_snapshot(spark, t, s2, merge_schema=True)
+    assert sorted(merged.columns) == ["id", "score", "v"]
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None and rows[3]["score"] == 9.5
+    assert len(rows) == 3
+
+    # time travel: the pre-evolution snapshot keeps its own schema
+    assert sorted(read_snapshot(spark, t, s1).columns) == ["id", "v"]
