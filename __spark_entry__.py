@@ -62,11 +62,40 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     tables are single-split, single-row-group parquet files, so
     per-row-heavy stages would otherwise run on one core). At real
     scale the scan has thousands of splits and this is a no-op — no
-    forced shuffle."""
+    forced shuffle. Probes ``inputFiles()`` (catalog metadata), not
+    ``df.rdd`` — building the RDD lineage just to count splits is
+    wasted work."""
     want = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(want // 2, 2):
+    try:
+        n_splits = len(df.inputFiles())
+    except Exception:  # non-file-backed frame: assume already spread
+        return df
+    if 0 < n_splits < max(want // 2, 2):
         return df.repartition(want)
     return df
+
+
+def _scratch(spark: SparkSession, name: str) -> str:
+    """Per-user, per-application scratch dir, wiped before each build.
+
+    Namespacing by user + Spark applicationId keeps two concurrent
+    drivers (or two users on a shared /tmp) from wiping each other's
+    not-yet-collected lazy query inputs, while repeated gate/bench runs
+    inside ONE session still overwrite instead of leaking a new mkdtemp
+    per call. NOT cleaned after return — the driver collects the
+    returned lazy DataFrame later."""
+    import getpass
+    import shutil
+    import tempfile
+
+    try:
+        user = getpass.getuser()
+    except Exception:
+        user = f"uid{os.getuid()}"
+    app = spark.sparkContext.applicationId
+    root = os.path.join(tempfile.gettempdir(), f"pps_{user}_{app}", name)
+    shutil.rmtree(root, ignore_errors=True)
+    return root
 
 
 # --------------------------------------------------------------------------
@@ -504,21 +533,12 @@ def q_codec_maintenance(spark, sf):
     aggregates over the raw table; ``compacted`` and ``runts_reduced``
     pin that the gate actually fired and shrank the runt population
     (deterministic at every gate sf with min_runt_fraction=0.05)."""
-    import os
-    import shutil
-    import tempfile
-
     from parquet_producers_spark.compaction import compact_if_needed
     from parquet_producers_spark.storage import encode_run, read_chunks
     from parquet_producers_spark.encoder import decode_chunks
 
     _ensure_pkg(spark)
-    # fixed scratch path, wiped before each build (same pattern as
-    # q_snapshot_incremental): repeated gate/bench runs overwrite
-    # instead of leaking a new mkdtemp per call. NOT cleaned after
-    # return — the driver collects the returned lazy DataFrame later.
-    root = os.path.join(tempfile.gettempdir(), "pps_maint_scratch")
-    shutil.rmtree(root, ignore_errors=True)
+    root = _scratch(spark, "maint")
     docs = _t(spark, sf, "documents")
     encode_run(spark, docs, root, "docs", version=1, sort_cols=["doc_id"],
                n_slices=3, chunk_rows=512, partitions_per_slice=2)
@@ -552,21 +572,13 @@ def q_snapshot_incremental(spark, sf):
     (what feeds Pipeline.update waves at scale). Returns the second
     commit's rows aggregated; oracle = the same aggregate over the
     raw table's doc_id >= 250 half."""
-    import shutil
-    import tempfile
-
     from parquet_producers_spark.sources.snapshots import (
         commit_snapshot,
         snapshot_diff,
     )
 
     d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
-    # fixed per-user scratch path, wiped before each build: repeated
-    # gate/bench invocations overwrite instead of leaking a new
-    # mkdtemp per call. NOT cleaned after return — the driver collects
-    # the returned (lazy) DataFrame later.
-    t = os.path.join(tempfile.gettempdir(), "pps_snap_scratch", "tbl")
-    shutil.rmtree(t, ignore_errors=True)
+    t = os.path.join(_scratch(spark, "snap"), "tbl")
     s1 = commit_snapshot(spark, d.filter(F.col("doc_id") < 250).coalesce(2), t)
     s2 = commit_snapshot(
         spark, d.filter(F.col("doc_id") >= 250).coalesce(2), t, mode="append")
@@ -1650,7 +1662,10 @@ edges AS (
   AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 ),
 reach(src, dst) AS (
-  SELECT doc_id, doc_id FROM sims
+  -- base = ALL vertices the Spark side passes (documents < 300), not just
+  -- docs that yield a simhash row: a degenerate (empty/whitespace) doc is
+  -- still a self-mapped isolated component on both sides
+  SELECT doc_id, doc_id FROM documents WHERE doc_id < 300
   UNION
   SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
 ),

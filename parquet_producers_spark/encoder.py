@@ -357,12 +357,15 @@ def encode_files(
     return fdf.mapInArrow(enc, schema=CHUNK_SPARK_SCHEMA)
 
 
-def decode_chunks(chunks: DataFrame, ordered: bool = True) -> DataFrame:
+def decode_chunks(chunks: DataFrame, ordered: bool = False) -> DataFrame:
     """Inverse of :func:`encode_partitions`: chunk table → original rows.
 
     Chunks are decoded group-wise; all columns of one chunk travel
-    together. ``ordered`` re-sorts by (part_id, chunk_seq) so the global
-    row order of the sorted encode is reproduced.
+    together. ``ordered=True`` re-sorts by (part_id, chunk_seq) so the
+    global row order of the sorted encode is reproduced — this is a TOTAL
+    SORT of the decoded output and therefore the expensive path at scale;
+    it defaults off. Consumers that need at-rest order re-sort by their
+    own key (as compaction already does, compaction.py:69-74).
     """
     from pyspark.sql import functions as F
 

@@ -108,10 +108,15 @@ def sequence_pack(
         toks.alias("n_tokens"),
     )
     start = (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    # SQL `div` keeps exact bigint semantics; `/` is double division and
+    # loses integer precision past 2**53 — a reachable cumulative token
+    # offset for one (lang, shard) stream at corpus scale
     return out.select(
+        "doc_id", "lang", "shard", "n_tokens", start.alias("_start"),
+    ).select(
         "doc_id", "lang", "shard", "n_tokens",
-        (start / budget).cast("bigint").alias("bin_id"),
-        (start % budget).cast("bigint").alias("bin_offset"),
+        F.expr(f"_start div {int(budget)}").alias("bin_id"),
+        (F.col("_start") % budget).cast("bigint").alias("bin_offset"),
     )
 
 

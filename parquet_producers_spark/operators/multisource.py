@@ -53,7 +53,12 @@ def read_sources(
     for upd, _ in feeders:
         keys = upd.select(*sk_cols)
         affected = keys if affected is None else affected.unionByName(keys)
-    affected = affected.distinct()
+    # The distinct affected-key set feeds a semi-join in EVERY feeder
+    # branch of one plan; without a checkpoint Catalyst may re-derive the
+    # union N times. The reference spills this exact frame to a temp file
+    # for re-scan (ParquetProduction.cs:201-206) — a lazy localCheckpoint
+    # is the Spark equivalent (materialized once, on first use).
+    affected = affected.distinct().localCheckpoint(eager=False)
 
     augmented = []
     for upd, content in feeders:

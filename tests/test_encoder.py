@@ -30,7 +30,7 @@ def test_roundtrip_bit_identical(spark, source):
     chunks = encode_partitions(
         source, sort_cols=["repo", "path"], partitions=4, chunk_rows=512
     ).cache()
-    decoded = decode_chunks(chunks)
+    decoded = decode_chunks(chunks, ordered=True)
 
     orig = source.orderBy("repo", "path").collect()
     got = decoded.collect()
