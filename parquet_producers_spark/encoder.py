@@ -244,6 +244,24 @@ def encode_partitions(
     return df.mapInArrow(enc, schema=out_schema)
 
 
+def open_parquet_any(path: str):
+    """``ParquetFile`` over any URI. ``pq.ParquetFile(path)`` alone only
+    opens local OS paths; ``pq.read_table`` resolves URIs. The row-group
+    split path (footer planning + worker ``read_row_groups``) targets
+    exactly the deployment shapes (``hdfs://``, ``s3a://``/``s3://``)
+    where that asymmetry bites, so resolve the filesystem first and hand
+    an opened input file to ParquetFile."""
+    import pyarrow.parquet as pq
+
+    if "://" in path:
+        import pyarrow.fs as pafs
+
+        fs, rel = pafs.FileSystem.from_uri(
+            path.replace("s3a://", "s3://", 1))
+        return pq.ParquetFile(fs.open_input_file(rel))
+    return pq.ParquetFile(path)
+
+
 def encode_files(
     spark,
     files: list[str],
@@ -291,11 +309,9 @@ def encode_files(
     # scheduling; only chunk BOUNDARIES may differ from the unsplit
     # read — the format's identity is row values (module docstring).
     if split_row_groups:
-        import pyarrow.parquet as pq
-
         units = []  # (path, rg_lo, rg_hi_exclusive)
         for path in files:
-            md = pq.ParquetFile(path).metadata
+            md = open_parquet_any(path).metadata
             lo, rows = 0, 0
             for rg in range(md.num_row_groups):
                 rows += md.row_group(rg).num_rows
@@ -341,7 +357,7 @@ def encode_files(
                 if rg_lo < 0:
                     tbl = pq.read_table(path, use_threads=False)
                 elif rg_hi > rg_lo:
-                    tbl = pq.ParquetFile(path).read_row_groups(
+                    tbl = open_parquet_any(path).read_row_groups(
                         list(range(rg_lo, rg_hi)), use_threads=False)
                 else:  # zero-row-group file
                     tbl = pq.read_table(path, use_threads=False)

@@ -18,13 +18,16 @@ layout works on ``file://`` and object stores; data moves via Spark's
 parquet reader given explicit file lists (an Iceberg-style
 manifest-driven scan, not directory listing).
 
-Scale note: a snapshot here is ONE JSON manifest — right up to millions
-of files. At the 10^12-file north-rule extreme the file list itself is
-big data; real Iceberg shards it into a manifest-list → manifest tree
-and this layer would grow the same two-level split (manifest shards as
-parquet, the snapshot pointing at shard files). The reader/committer
-contracts (atomic pointer write, file-identity diff) are unchanged by
-that split, which is why the flat form is used here.
+Scale note: past :data:`SHARD_THRESHOLD` files the snapshot stops
+inlining its file list in JSON and becomes a two-level manifest tree
+(real Iceberg's manifest-list → manifest split): the list is written as
+PARQUET shard files under ``_snapshots/m=<id>/`` — a distributed Spark
+write, so no driver bottleneck at commit — and the JSON snapshot is a
+small pointer carrying ``files_dir`` + ``n_files``. Readers handle both
+forms; per-file stats come from parquet FOOTERS (metadata-only reads,
+distributed above :data:`_STATS_DISTRIBUTE_OVER` files), never from a
+data scan. The atomic-pointer / file-identity-diff contracts are
+unchanged by the split.
 """
 
 from __future__ import annotations
@@ -34,7 +37,14 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..encoder import open_parquet_any
 from ..filestore import FileStore, LocalStore
+
+# inline the file list in the snapshot JSON up to this many files;
+# beyond it, shard the list into parquet manifests
+SHARD_THRESHOLD = 10_000
+# footer-stats reads go distributed above this many files
+_STATS_DISTRIBUTE_OVER = 64
 
 
 def _manifest_dir(table_dir: str) -> str:
@@ -54,12 +64,115 @@ def list_snapshots(table_dir: str, store: FileStore | None = None) -> list[int]:
     )
 
 
+def _footer_stats(spark: SparkSession, paths: list[str]) -> dict[str, int]:
+    """Rows per file from parquet FOOTERS — metadata-only reads, never a
+    data scan (the previous implementation scanned every row through
+    ``input_file_name()`` and then suffix-matched the result O(files²)).
+    Small lists read on the driver; large ones fan out as one footer
+    read per file across the executors."""
+    if len(paths) <= _STATS_DISTRIBUTE_OVER:
+        return {p: open_parquet_any(p).metadata.num_rows for p in paths}
+    import pandas as pd
+
+    pdf = spark.createDataFrame(
+        pd.DataFrame({"path": paths}), schema="path string")
+
+    def footer(batches):
+        from parquet_producers_spark.encoder import open_parquet_any as opn
+
+        for b in batches:
+            yield pd.DataFrame({
+                "path": b["path"],
+                "rows": [opn(p).metadata.num_rows for p in b["path"]],
+            })
+
+    rows = (
+        pdf.repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(footer, schema="path string, rows long")
+        .collect()
+    )
+    return {r["path"]: int(r["rows"]) for r in rows}
+
+
+def _shard_dir(table_dir: str, snapshot_id: int) -> str:
+    return posixpath.join(_manifest_dir(table_dir), f"m={snapshot_id:06d}")
+
+
+def _manifest_files(table_dir: str, manifest: dict,
+                    store: FileStore) -> list[dict]:
+    """The manifest's file list — inline JSON form or the sharded
+    parquet manifest-tree form (``files_dir`` pointer)."""
+    if "files" in manifest:
+        return manifest["files"]
+    fdir = manifest["files_dir"]
+    shards = sorted(
+        posixpath.join(fdir, e) for e in store.listdir(fdir)
+        if e.endswith(".parquet") and not e.startswith(("_", "."))
+    )
+    out: list[dict] = []
+    for s in shards:
+        t = open_parquet_any(s).read()
+        out.extend(
+            {"path": p, "rows": int(r)}
+            for p, r in zip(t.column("path").to_pylist(),
+                            t.column("rows").to_pylist())
+        )
+    return out
+
+
+def _write_manifest(
+    spark: SparkSession,
+    table_dir: str,
+    new_id: int,
+    parent: int | None,
+    mode: str,
+    schema_ddl: str,
+    files: list[dict],
+    store: FileStore,
+    shard_threshold: int,
+) -> None:
+    head = {
+        "snapshot": new_id,
+        "parent": parent,
+        "mode": mode,
+        "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "schema_ddl": schema_ddl,
+        "n_files": len(files),
+    }
+    if len(files) <= shard_threshold:
+        head["files"] = files
+    else:
+        # manifest tree: file list as parquet shards, written by Spark
+        # (distributed), JSON snapshot is just the pointer. Write shards
+        # BEFORE the pointer — the atomic commit point stays the JSON.
+        import pandas as pd
+
+        fdir = _shard_dir(table_dir, new_id)
+        n_shards = max(1, min(
+            spark.sparkContext.defaultParallelism,
+            len(files) // shard_threshold + 1))
+        (
+            spark.createDataFrame(
+                pd.DataFrame({
+                    "path": [f["path"] for f in files],
+                    "rows": [f.get("rows") for f in files],
+                }),
+                schema="path string, rows long",
+            )
+            .repartition(n_shards)
+            .write.mode("overwrite").parquet(fdir)
+        )
+        head["files_dir"] = fdir
+    store.write_json_atomic(_manifest_path(table_dir, new_id), head)
+
+
 def commit_snapshot(
     spark: SparkSession,
     df: DataFrame,
     table_dir: str,
     mode: str = "append",
     store: FileStore | None = None,
+    shard_threshold: int = SHARD_THRESHOLD,
 ) -> int:
     """Write ``df``'s rows as new immutable data files + one manifest.
 
@@ -72,43 +185,63 @@ def commit_snapshot(
     """
     store = store or LocalStore()
     snaps = list_snapshots(table_dir, store)
-    prev_files: list[dict] = []
-    if snaps and mode == "append":
-        prev_files = store.read_json(_manifest_path(table_dir, snaps[-1]))["files"]
     new_id = (snaps[-1] + 1) if snaps else 1
 
     data_dir = posixpath.join(table_dir, f"data/s={new_id:06d}")
     df.write.mode("overwrite").parquet(data_dir)
-    listed = [
+    listed = sorted(
         e for e in store.listdir(data_dir)
         if e.endswith(".parquet") and not e.startswith(("_", "."))
-    ]
-    new_files = []
-    for name in sorted(listed):
-        path = posixpath.join(data_dir, name)
-        new_files.append({"path": path})
-    # per-file stats (rows/bytes) for planning, one scan of footers
-    stats = {
-        r["__f"]: (r["n"],) for r in
-        spark.read.parquet(*[f["path"] for f in new_files])
-        .selectExpr("input_file_name() AS __f").groupBy("__f").count()
-        .withColumnRenamed("count", "n").collect()
-    } if new_files else {}
-    for f in new_files:
-        # input_file_name returns a URI form; match by suffix
-        n = next((v[0] for k, v in stats.items() if k.endswith(
-            f["path"].split("/")[-1])), None)
-        f["rows"] = int(n) if n is not None else None
+    )
+    paths = [posixpath.join(data_dir, name) for name in listed]
+    schema_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    return _commit_paths(spark, table_dir, paths, mode, schema_ddl,
+                         store, shard_threshold, snaps, new_id)
 
-    store.write_json_atomic(_manifest_path(table_dir, new_id), {
-        "snapshot": new_id,
-        "parent": snaps[-1] if snaps else None,
-        "mode": mode,
-        "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        "schema_ddl": ", ".join(
-            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields),
-        "files": prev_files + new_files,
-    })
+
+def commit_files(
+    spark: SparkSession,
+    table_dir: str,
+    paths: list[str],
+    mode: str = "append",
+    schema_ddl: str | None = None,
+    store: FileStore | None = None,
+    shard_threshold: int = SHARD_THRESHOLD,
+) -> int:
+    """Register EXISTING immutable parquet files as a new snapshot
+    without rewriting their bytes — Iceberg's ``add_files`` import
+    path. This is how a 10^12-file corpus enters the table layer:
+    data stays where it is; only footers are read (distributed) for
+    per-file stats, and the manifest (sharded past the threshold) is
+    the only thing written."""
+    store = store or LocalStore()
+    snaps = list_snapshots(table_dir, store)
+    new_id = (snaps[-1] + 1) if snaps else 1
+    if schema_ddl is None:
+        if paths:
+            sch = open_parquet_any(paths[0]).schema_arrow
+            from ..encoder import _spark_type
+
+            schema_ddl = ", ".join(
+                f"{f.name} {_spark_type(f.type)}" for f in sch)
+        else:
+            schema_ddl = ""
+    return _commit_paths(spark, table_dir, sorted(paths), mode, schema_ddl,
+                         store, shard_threshold, snaps, new_id)
+
+
+def _commit_paths(spark, table_dir, paths, mode, schema_ddl, store,
+                  shard_threshold, snaps, new_id) -> int:
+    prev_files: list[dict] = []
+    if snaps and mode == "append":
+        prev = store.read_json(_manifest_path(table_dir, snaps[-1]))
+        prev_files = _manifest_files(table_dir, prev, store)
+    stats = _footer_stats(spark, paths)
+    new_files = [{"path": p, "rows": stats[p]} for p in paths]
+    _write_manifest(
+        spark, table_dir, new_id, snaps[-1] if snaps else None, mode,
+        schema_ddl, prev_files + new_files, store, shard_threshold)
     return new_id
 
 
@@ -135,7 +268,7 @@ def read_snapshot(
     if sid not in snaps:
         raise ValueError(f"snapshot {sid} not in {snaps}")
     manifest = store.read_json(_manifest_path(table_dir, sid))
-    paths = [f["path"] for f in manifest["files"]]
+    paths = [f["path"] for f in _manifest_files(table_dir, manifest, store)]
     if not paths:
         return spark.createDataFrame([], schema=manifest["schema_ddl"])
     reader = spark.read
@@ -165,7 +298,9 @@ def snapshot_diff(
         table_dir,
         to_id if to_id is not None
         else list_snapshots(table_dir, store)[-1]))
-    new = [f["path"] for f in to_manifest["files"] if f["path"] not in old]
+    new = [f["path"]
+           for f in _manifest_files(table_dir, to_manifest, store)
+           if f["path"] not in old]
     if not new:
         return spark.createDataFrame([], schema=to_manifest["schema_ddl"])
     return spark.read.parquet(*new)
@@ -179,4 +314,5 @@ def snapshot_files(table_dir: str, snapshot_id: int | None = None,
     store = store or LocalStore()
     snaps = list_snapshots(table_dir, store)
     sid = snapshot_id if snapshot_id is not None else snaps[-1]
-    return store.read_json(_manifest_path(table_dir, sid))["files"]
+    manifest = store.read_json(_manifest_path(table_dir, sid))
+    return _manifest_files(table_dir, manifest, store)
