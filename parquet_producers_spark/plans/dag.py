@@ -60,7 +60,16 @@ class Pipeline:
     # -- state I/O --------------------------------------------------------
 
     def _table(self, name: str, version: int, table: str) -> DataFrame:
-        return self.spark.read.parquet(stage_dir(self.root, name, version, table))
+        path = stage_dir(self.root, name, version, table)
+        # reference IPersistentStreams.cs:14-17: an absent blob and an
+        # empty stream are the same thing to readers — an empty table is
+        # a deleted dir plus a schema marker (see _write)
+        marker = path + "._empty.json"
+        if (not self.store.exists(posixpath.join(path, "_SUCCESS"))
+                and self.store.exists(marker)):
+            return self.spark.createDataFrame(
+                [], schema=self.store.read_json(marker)["schema_ddl"])
+        return self.spark.read.parquet(path)
 
     def content(self, name: str, version: int | None = None) -> DataFrame:
         version = version if version is not None else self.version(name)
@@ -85,6 +94,9 @@ class Pipeline:
             if name in self._txn_stages(v) and all(
                 self.store.exists(posixpath.join(
                     stage_dir(self.root, name, v, t), "_SUCCESS"))
+                # empty table = absent dir + schema marker (_write)
+                or self.store.exists(
+                    stage_dir(self.root, name, v, t) + "._empty.json")
                 for t in ("content", "mappings", "updates")
             ):
                 return v
@@ -131,7 +143,34 @@ class Pipeline:
             ]
             n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
             df = df.repartitionByRange(n, *exprs).sortWithinPartitions(*exprs)
-        df.write.mode("overwrite").parquet(stage_dir(self.root, name, version, table))
+        path = stage_dir(self.root, name, version, table)
+        df.write.mode("overwrite").parquet(path)
+        # reference IPersistentStreams.cs:14-17: uploading EMPTY content
+        # deletes the blob. Detect emptiness from the written part
+        # footers (metadata-only, O(part files)); an all-empty table
+        # becomes an absent dir plus a schema marker — the marker plays
+        # the role of the reference reader's static C# row type, letting
+        # _table synthesize a correctly-typed empty frame.
+        from ..encoder import open_parquet_any
+
+        parts = [
+            e for e in self.store.listdir(path)
+            if e.endswith(".parquet") and not e.startswith(("_", "."))
+        ]
+        rows = 0
+        for p in parts:  # short-circuit: non-empty tables stop at part 1
+            rows += open_parquet_any(
+                posixpath.join(path, p)).metadata.num_rows
+            if rows:
+                break
+        marker = path + "._empty.json"
+        if rows == 0:
+            self.store.write_json_atomic(marker, {"schema_ddl": ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in df.schema.fields)})
+            self.store.delete(path, recursive=True)
+        else:
+            self.store.delete(marker)  # idempotent re-run of a once-empty version
 
     # -- the DAG update transaction ---------------------------------------
 

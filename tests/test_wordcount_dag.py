@@ -393,3 +393,43 @@ def test_independent_txn_crash_not_visible_through_other_manifest(
     txn_files = sorted(os.listdir(str(tmp_path / "_txn")))
     assert len(txn_files) == 2 and all(
         f.startswith("v=1.") and f.endswith(".json") for f in txn_files)
+
+
+def test_empty_table_deletes_blob(spark, tmp_path):
+    """Reference IPersistentStreams.cs:14-17: uploading EMPTY content
+    deletes the blob — an absent blob and an empty stream are the same
+    thing to readers. A wave that deletes every source row must leave
+    the stage's v=2 tables as ABSENT dirs (plus schema markers), with
+    version() advanced and content() a typed empty frame; a later
+    re-add wave resumes normally."""
+    import os
+
+    from parquet_producers_spark.storage import stage_dir
+
+    p = Pipeline(spark, str(tmp_path / "dag"))
+    p.add(Stage("words", ["src_id"], ["word"], ["val_id"], _split_words,
+                "word string, val_id int"))
+
+    v1 = p.update({"words": spark.createDataFrame(
+        [("Add", 1, "alpha beta")], "type string, src_id int, text string")})
+    assert p.content("words", v1).count() == 2
+
+    v2 = p.update({"words": spark.createDataFrame(
+        [("Delete", 1, None)], "type string, src_id int, text string")})
+    assert p.version("words") == v2 == 2
+    for t in ("content", "mappings"):
+        d = stage_dir(str(tmp_path / "dag"), "words", v2, t)
+        assert not os.path.exists(d), f"{t} dir should be deleted"
+        assert os.path.exists(d + "._empty.json")
+    empty = p.content("words", v2)
+    assert empty.count() == 0
+    assert empty.columns == ["word", "src_id", "val_id"]
+
+    v3 = p.update({"words": spark.createDataFrame(
+        [("Add", 2, "gamma")], "type string, src_id int, text string")})
+    assert p.version("words") == v3 == 3
+    got = [tuple(r) for r in p.content("words", v3).collect()]
+    assert got == [("gamma", 2, 2)]
+    # the once-empty marker never shadows the non-empty v3
+    d3 = stage_dir(str(tmp_path / "dag"), "words", v3, "content")
+    assert os.path.exists(d3) and not os.path.exists(d3 + "._empty.json")
