@@ -485,6 +485,58 @@ def q_codec_pruned_scan_col(spark, sf):
     )
 
 
+def q_codec_bloom_prune(spark, sf):
+    """EQUALITY point-lookup ON the encoded format via per-chunk bloom
+    filters (encoder.prune_chunks_eq): encode documents sorted by
+    doc_id — lang is then UNclustered across chunks, so zone maps
+    can't prune an equality on it — bloom-prune to lang = min(lang),
+    decode survivors, apply the exact predicate, aggregate. Pruning is
+    an optimization, never a correctness filter (false positives decode
+    and fall to the predicate; false negatives are impossible).
+    Oracle: the same aggregate over the raw table."""
+    from parquet_producers_spark.encoder import (
+        decode_chunks,
+        encode_partitions,
+        prune_chunks_eq,
+    )
+
+    _ensure_pkg(spark)
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    target = d.agg(F.min("lang")).first()[0]
+    chunks = encode_partitions(d, sort_cols=["doc_id"], partitions=8,
+                               chunk_rows=64)
+    decoded = decode_chunks(prune_chunks_eq(chunks, "lang", target))
+    return (
+        decoded.filter(F.col("lang") == target)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").cast("bigint").alias("total_chars"),
+             F.min("doc_id").alias("min_doc"),
+             F.max("doc_id").alias("max_doc"))
+    )
+
+
+def q_codec_manifest_agg(spark, sf):
+    """Metadata-only aggregation ON the encoded format
+    (encoder.manifest_aggregate): COUNT/MIN/MAX of a column computed
+    entirely from the chunk manifest — zero blobs decoded, zero data
+    rows read. Oracle: the same aggregates over the raw table."""
+    from parquet_producers_spark.encoder import (
+        encode_partitions,
+        manifest_aggregate,
+    )
+
+    _ensure_pkg(spark)
+    d = _t(spark, sf, "documents")
+    chunks = encode_partitions(d, sort_cols=["doc_id"], partitions=4,
+                               chunk_rows=256)
+    return manifest_aggregate(chunks, "n_chars", cast="long").select(
+        F.col("count_rows").cast("bigint").alias("count_rows"),
+        F.col("min_value").cast("bigint").alias("min_value"),
+        F.col("max_value").cast("bigint").alias("max_value"),
+    )
+
+
 def q_codec_compaction(spark, sf):
     """Maintenance op ON the encoded format (compaction.py — the chunk
     table's rewrite_data_files): encode documents into a deliberately
@@ -1195,6 +1247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "codec_pruned_scan": q_codec_pruned_scan,
+        "codec_bloom_prune": q_codec_bloom_prune,
+        "codec_manifest_agg": q_codec_manifest_agg,
         "region_customer_count": q_region_customer_count,
         "event_type_stats": q_event_type_stats,
     }
@@ -2076,6 +2130,27 @@ SELECT col AS "column",
        (SELECT COUNT(*) FROM documents) AS total_rows,
        1 AS compressed
 FROM (VALUES ('doc_id'), ('text'), ('lang'), ('source'), ('n_chars')) t(col)
+"""
+
+    # bloom pruning is an optimization, never a filter: the decoded
+    # survivors pass the exact predicate, so the aggregate equals the
+    # raw table's for the probed language
+    sql["codec_bloom_prune"] = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents
+WHERE lang = (SELECT MIN(lang) FROM documents)
+GROUP BY lang
+"""
+
+    sql["codec_manifest_agg"] = """
+SELECT CAST(COUNT(*) AS BIGINT) AS count_rows,
+       CAST(MIN(n_chars) AS BIGINT) AS min_value,
+       CAST(MAX(n_chars) AS BIGINT) AS max_value
+FROM documents
 """
 
     # compaction is invisible to readers: decoded aggregates equal the

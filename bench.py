@@ -167,11 +167,14 @@ def encode_level(cores: int, src_path: str, work: str,
 
 
 def direct_level(cores: int, src_path: str, work: str,
-                 reps: int = ENCODE_REPS) -> dict:
+                 reps: int = ENCODE_REPS, cascade: bool = False,
+                 profile: str = "size") -> dict:
     """Direct-scan encode (workers read the sorted parquet with Arrow
     C++; table bytes never cross the JVM→Python socket) — the peak-
-    throughput path for clustered corpora. Same measurement protocol
-    as encode_level."""
+    throughput path for clustered corpora, and with
+    cascade=True/profile='balanced' the deployment-default route
+    (snapshots.encode_snapshot). Same measurement protocol as
+    encode_level."""
     import glob
 
     from parquet_producers_spark.session import get_spark
@@ -183,13 +186,15 @@ def direct_level(cores: int, src_path: str, work: str,
     spark = get_spark(f"bench-direct-{cores}", cores=cores,
                       shuffle_partitions=cores)
     try:
-        encode_files(spark, files[:cores], key_col="repo").count()  # warm
+        encode_files(spark, files[:cores], key_col="repo",
+                     cascade=cascade, profile=profile).count()  # warm
         elapsed_runs = []
         raw_content = raw_all = enc_all = 0
         for r in range(reps):
             t0 = time.monotonic()
             out_dir = os.path.join(work, f"enc_direct_{cores}_{r}")
-            encode_files(spark, files, key_col="repo").write.mode(
+            encode_files(spark, files, key_col="repo", cascade=cascade,
+                         profile=profile).write.mode(
                 "overwrite").option("compression", "none").parquet(out_dir)
             elapsed_runs.append(time.monotonic() - t0)
             agg = (
@@ -218,7 +223,9 @@ def direct_level(cores: int, src_path: str, work: str,
 
 
 def paired_scaling(src_path: str, work: str,
-                   reps: int = ENCODE_REPS) -> tuple[dict, dict, float]:
+                   reps: int = ENCODE_REPS, cascade: bool = False,
+                   profile: str = "size", low_cpus: int | None = None,
+                   high_cpus: int | None = None) -> tuple[dict, dict, float]:
     """Deployment-scaling measurement, noise-hardened two ways:
 
     * runs INTERLEAVE the two levels (low/high back-to-back pairs, one
@@ -231,13 +238,17 @@ def paired_scaling(src_path: str, work: str,
 
     Returns (low_best_entry, high_best_entry, eff); each entry carries
     every run's elapsed time for the spread."""
+    lo_n = low_cpus or LOW_CPUS
+    hi_n = high_cpus or HIGH_CPUS
     lows, highs = [], []
     for _ in range(reps):
-        lows.append(direct_level(LOW_CPUS, src_path, work, reps=1))
-        highs.append(direct_level(HIGH_CPUS, src_path, work, reps=1))
+        lows.append(direct_level(lo_n, src_path, work, reps=1,
+                                 cascade=cascade, profile=profile))
+        highs.append(direct_level(hi_n, src_path, work, reps=1,
+                                  cascade=cascade, profile=profile))
     best_lo = max(e["content_gbps"] for e in lows)
     best_hi = max(e["content_gbps"] for e in highs)
-    eff = round(min((best_hi / best_lo) / (HIGH_CPUS / LOW_CPUS), 1.0), 3) \
+    eff = round(min((best_hi / best_lo) / (hi_n / lo_n), 1.0), 3) \
         if best_lo else 0.0
 
     def _pick(runs: list[dict]) -> dict:
@@ -451,20 +462,46 @@ def main() -> None:
         time.sleep(5)
         # 5 pairs: best-of-N per level needs only ONE clean run per
         # level, and the documented noise windows last minutes — more,
-        # temporally-spread samples beat more reps inside one window
+        # temporally-spread samples beat more reps inside one window.
+        # deploy_scaled runs FIRST (coolest box): it is the bar-bearing
+        # row — the DEPLOYMENT-DEFAULT configuration end-to-end
+        # (direct-scan route exactly as snapshots.encode_snapshot wires
+        # it: balanced profile + zstd cascade) at the floor-amortized
+        # job size.
+        deploy_low, deploy_high, deploy_eff = paired_scaling(
+            src_scaled, work, reps=5, cascade=True, profile="balanced")
+        # second, QUARTER-BOX N→4N pair for the same deployment route
+        # (half the cores at each level): the high level then fills only
+        # a quarter of the machine, so shared-DRAM saturation — a
+        # single-box artifact a real 4N-executor cluster doesn't have —
+        # stays out of the measurement. Same 4× ratio, same input.
+        qb_low_n = max(LOW_CPUS // 2, 1)
+        qb_high_n = max(HIGH_CPUS // 2, 2)
+        deployq_low, deployq_high, deployq_eff = paired_scaling(
+            src_scaled, work, reps=3, cascade=True, profile="balanced",
+            low_cpus=qb_low_n, high_cpus=qb_high_n)
         scaled_low, scaled_high, scaled_eff = paired_scaling(
             src_scaled, work, reps=5)
         low_all = encode_level(LOW_CPUS, src_path, work, mode_specs)
         high_all = encode_level(HIGH_CPUS, src_path, work, mode_specs)
         low_all["direct"] = direct_level(LOW_CPUS, src_path, work)
         high_all["direct"] = direct_level(HIGH_CPUS, src_path, work)
+        low_all["deploy_scaled"] = deploy_low
+        high_all["deploy_scaled"] = deploy_high
         low_all["direct_scaled"] = scaled_low
         high_all["direct_scaled"] = scaled_high
+        ref_scaled_bytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(src_scaled) for f in fs
+            if f.endswith(".parquet"))
         modes = {}
         for tag in [t for t, _c, _p in mode_specs] + ["direct",
+                                                      "deploy_scaled",
                                                       "direct_scaled"]:
             low, high = low_all[tag], high_all[tag]
-            if tag == "direct_scaled":
+            if tag == "deploy_scaled":
+                eff = deploy_eff
+            elif tag == "direct_scaled":
                 # best-of-N per level over interleaved pairs (see
                 # paired_scaling): robust to the episodic host-noise
                 # windows that can degrade one level's whole sample
@@ -475,11 +512,8 @@ def main() -> None:
                     / (HIGH_CPUS / LOW_CPUS), 1.0,
                 ) if low["content_gbps"] else 0.0
             ref = ref_bytes
-            if tag == "direct_scaled":
-                ref = sum(
-                    os.path.getsize(os.path.join(r, f))
-                    for r, _, fs in os.walk(src_scaled) for f in fs
-                    if f.endswith(".parquet"))
+            if tag in ("direct_scaled", "deploy_scaled"):
+                ref = ref_scaled_bytes
             modes[tag] = {
                 f"local[{LOW_CPUS}]": low,
                 f"local[{HIGH_CPUS}]": high,
@@ -487,6 +521,14 @@ def main() -> None:
                 "compressed_ratio_vs_parquet": round(
                     high["enc_bytes"] / ref, 4),
             }
+
+        modes["deploy_scaled_quarterbox"] = {
+            f"local[{qb_low_n}]": deployq_low,
+            f"local[{qb_high_n}]": deployq_high,
+            "scaling_efficiency": deployq_eff,
+            "compressed_ratio_vs_parquet": round(
+                deployq_high["enc_bytes"] / ref_scaled_bytes, 4),
+        }
 
         probe = kernel_scaling_probe(src_path)
         contention = core_contention_factor()
@@ -528,9 +570,13 @@ def main() -> None:
     print(json.dumps(_compact(result), separators=(",", ":")))
 
 
+def _mode_levels(m: dict) -> list[str]:
+    return sorted((k for k in m if k.startswith("local[")),
+                  key=lambda s: int(s[6:-1]))
+
+
 def _compact(result: dict) -> dict:
     enc = result["encode"]
-    lo, hi = f"local[{LOW_CPUS}]", f"local[{HIGH_CPUS}]"
     return {
         "metric": result["metric"],
         "value": result["value"],
@@ -541,8 +587,9 @@ def _compact(result: dict) -> dict:
         "encode": {
             "modes": {
                 tag: {
-                    "low_gbps": m[lo]["content_gbps"],
-                    "high_gbps": m[hi]["content_gbps"],
+                    "low_gbps": m[_mode_levels(m)[0]]["content_gbps"],
+                    "high_gbps": m[_mode_levels(m)[-1]]["content_gbps"],
+                    "levels": [int(s[6:-1]) for s in _mode_levels(m)],
                     "scaling_efficiency": m["scaling_efficiency"],
                     "compressed_ratio_vs_parquet":
                         m["compressed_ratio_vs_parquet"],
@@ -580,6 +627,12 @@ def _append_history(result: dict) -> list[dict]:
             enc["modes"].get("direct_scaled", {}).get("scaling_efficiency"),
         "direct_scaled_high_gbps": enc["modes"].get("direct_scaled", {})
             .get(f"local[{HIGH_CPUS}]", {}).get("content_gbps"),
+        "deploy_scaled_eff":
+            enc["modes"].get("deploy_scaled", {}).get("scaling_efficiency"),
+        "deploy_scaled_high_gbps": enc["modes"].get("deploy_scaled", {})
+            .get(f"local[{HIGH_CPUS}]", {}).get("content_gbps"),
+        "deploy_qb_eff": enc["modes"].get(
+            "deploy_scaled_quarterbox", {}).get("scaling_efficiency"),
         "kernel_probe_eff": enc["kernel_probe"]["scaling_efficiency"],
         "cascade_ratio":
             enc["modes"]["cascade"]["compressed_ratio_vs_parquet"],
@@ -602,6 +655,12 @@ def _write_bench_md(result: dict) -> None:
     history = _append_history(result)
     best_eff = max((h["direct_scaled_eff"] or 0) for h in history)
     best_gbps = max((h["direct_scaled_high_gbps"] or 0) for h in history)
+    best_deploy_eff = max(
+        (h.get("deploy_scaled_eff") or 0) for h in history)
+    best_deploy_gbps = max(
+        (h.get("deploy_scaled_high_gbps") or 0) for h in history)
+    best_deploy_qb = max(
+        (h.get("deploy_qb_eff") or 0) for h in history)
     best_probe = max(h["kernel_probe_eff"] for h in history)
     best_suite = min(h["suite_s"] for h in history if h["sf"] == result["sf"])
     lines = [
@@ -613,8 +672,15 @@ def _write_bench_md(result: dict) -> None:
         " noise-free capability and the latest run below is one sample)",
         "",
         f"- runs recorded: **{len(history)}**",
-        f"- best deployment-mode (direct_scaled) raw scaling efficiency:"
-        f" **{best_eff}** (target ≥ 0.8); best local[{HIGH_CPUS}]"
+        f"- best DEPLOYMENT-DEFAULT (deploy_scaled: direct-scan route ×"
+        f" balanced+cascade codecs) raw scaling efficiency:"
+        f" **{best_deploy_eff}** (target ≥ 0.8); best local[{HIGH_CPUS}]"
+        f" deploy-route throughput: **{best_deploy_gbps} GB/s**;"
+        f" best quarter-box N→4N pair (same route, high level fills only"
+        f" ¼ of the machine, so single-box DRAM saturation stays out):"
+        f" **{best_deploy_qb}**",
+        f"- best direct-scan size-profile (direct_scaled) raw scaling"
+        f" efficiency: **{best_eff}**; best local[{HIGH_CPUS}]"
         f" direct-scan throughput: **{best_gbps} GB/s**",
         f"- best kernel-probe scaling: **{best_probe}**;"
         f" best headline suite at sf={result['sf']}: **{best_suite} s**",
@@ -642,18 +708,38 @@ def _write_bench_md(result: dict) -> None:
                       " floor suppresses the high level — see"
                       " direct_scaled for the floor-amortized scaling"
                       " row",
-            "direct_scaled": "DEPLOYMENT SCALING ROW — direct-scan"
-                             f" path on the {SCALED_FACTOR}× input,"
-                             " where the fixed local floor is <10% of"
-                             " wall-clock at both levels (the shape of"
-                             " real minutes-long cluster jobs). Levels"
-                             " run INTERLEAVED (low/high pairs, one"
-                             " pair per rep) so a host-noise window"
-                             " can't cover one level's whole sample;"
-                             " the efficiency uses best-of-N per level"
-                             " — noise is strictly one-sided, so the"
+            "deploy_scaled": "DEPLOYMENT-DEFAULT SCALING ROW — the"
+                             " default deployment route end-to-end"
+                             " (snapshot file list → direct-scan"
+                             " workers, balanced profile + zstd"
+                             " entropy cascade; exactly what"
+                             " snapshots.encode_snapshot wires) on the"
+                             f" {SCALED_FACTOR}× input. Interleaved"
+                             " low/high pairs, best-of-N per level"
+                             " (one-sided host noise). THE bar-bearing"
+                             " N→4N row for the default configuration",
+            "deploy_scaled_quarterbox": "deployment-default route,"
+                             " QUARTER-BOX N→4N pair (half the cores"
+                             " per level, same 4× ratio, same input):"
+                             " the high level fills only a quarter of"
+                             " the machine, so shared-DRAM saturation"
+                             " — a single-box artifact a real"
+                             " 4N-executor cluster doesn't have —"
+                             " stays out of the measurement."
+                             " Interleaved pairs, best-of-N per level",
+            "direct_scaled": "direct-scan SIZE-profile scaling row on"
+                             f" the {SCALED_FACTOR}× input, where the"
+                             " fixed local floor is <10% of wall-clock"
+                             " at both levels (the shape of real"
+                             " minutes-long cluster jobs). Levels run"
+                             " INTERLEAVED (low/high pairs, one pair"
+                             " per rep) so a host-noise window can't"
+                             " cover one level's whole sample; the"
+                             " efficiency uses best-of-N per level —"
+                             " noise is strictly one-sided, so the"
                              " fastest run estimates the noise-free"
-                             " time. This row is the N→4N evidence",
+                             " time. Secondary N→4N evidence beside"
+                             " deploy_scaled",
         }
         title = titles.get(tag, tag)
         lines += [

@@ -83,6 +83,78 @@ def _col_zone(arr: pa.Array) -> tuple[str | None, str | None]:
     return str(mm["min"].as_py()), str(mm["max"].as_py())
 
 
+# per-chunk bloom filters (equality pruning on UNclustered columns —
+# zone maps only help columns correlated with the chunk order):
+# ~10 bits per distinct value, k=4 → ~1.2% false-positive rate; built
+# only when the chunk's cardinality is bounded (the blob lives inside
+# the JSON params of the manifest row, so it must stay small) and the
+# type has a canonical equality representation (string/int).
+_BLOOM_K = 4
+_BLOOM_MAX_DISTINCT = 4096
+_BLOOM_BITS_PER_KEY = 10
+
+
+def _bloom_positions(b: bytes, m: int) -> list[int]:
+    """k deterministic bit positions for one value. zlib.crc32 is
+    C-speed and PROCESS-STABLE (unlike ``hash()`` under hash
+    randomization, which would make worker-built filters unreadable by
+    the driver); two differently-seeded crcs give the classic
+    double-hashing family h1 + i*h2."""
+    import zlib
+
+    h1 = zlib.crc32(b)
+    h2 = zlib.crc32(b, 0x9E3779B9) | 1
+    return [(h1 + i * h2) % m for i in range(_BLOOM_K)]
+
+
+def _bloom_build(arr: pa.Array,
+                 n_distinct: int | None = None) -> tuple[str, int] | None:
+    """(base64 filter, n_bits) over the chunk's DISTINCT values, or
+    None when the column is unsuitable (type, cardinality, nulls-only).
+    ``n_distinct`` is the already-computed chunk stat — high-cardinality
+    columns (e.g. content) bail out BEFORE the `unique` call, so the
+    encode hot path never pays for a filter it won't store. The Python
+    loop is bounded by cardinality (≤ _BLOOM_MAX_DISTINCT), never rows."""
+    import base64
+
+    import pyarrow.compute as pc
+
+    t = arr.type
+    if not (pa.types.is_string(t) or pa.types.is_large_string(t)
+            or pa.types.is_integer(t)):
+        return None
+    if len(arr) == arr.null_count:
+        return None
+    if n_distinct is not None and n_distinct > _BLOOM_MAX_DISTINCT:
+        return None
+    uniq = pc.unique(arr.drop_null())
+    n = len(uniq)
+    if n == 0 or n > _BLOOM_MAX_DISTINCT:
+        return None
+    m = max(64, 1 << (n * _BLOOM_BITS_PER_KEY - 1).bit_length())
+    bits = bytearray(m // 8)
+    for v in uniq.to_pylist():
+        for p in _bloom_positions(str(v).encode(), m):
+            bits[p >> 3] |= 1 << (p & 7)
+    return base64.b64encode(bytes(bits)).decode(), m
+
+
+def bloom_may_contain(params_json: str, value) -> bool:
+    """Manifest-side membership probe; True when the chunk has no bloom
+    (unknown ⇒ must read)."""
+    import base64
+
+    p = json.loads(params_json)
+    enc = p.get("bloom")
+    if not enc:
+        return True
+    bits = base64.b64decode(enc)
+    m = p["bloom_m"]
+    b = str(value).encode()
+    return all(bits[pos >> 3] & (1 << (pos & 7))
+               for pos in _bloom_positions(b, m))
+
+
 def _encode_chunk(tbl: pa.Table, pid: int, seq: int, cascade: bool,
                   key_col: str | None = None,
                   profile: str = "size") -> pa.RecordBatch:
@@ -101,6 +173,9 @@ def _encode_chunk(tbl: pa.Table, pid: int, seq: int, cascade: bool,
                                            profile=profile)
         params["atype"] = str(arr.type)
         params["stats"] = stats.as_dict()
+        bloom = _bloom_build(arr, n_distinct=stats.n_distinct)
+        if bloom is not None:
+            params["bloom"], params["bloom_m"] = bloom
         names.append(name)
         codecs.append(choice.codec)
         params_l.append(json.dumps(params, separators=(",", ":")))
@@ -541,3 +616,59 @@ def prune_chunks_on(chunks: DataFrame, column: str, lo=None, hi=None,
     ]
     ident = layout_cols + ["part_id", "chunk_seq"]
     return chunks.join(stats.select(*ident).distinct(), ident, "left_semi")
+
+
+def prune_chunks_eq(chunks: DataFrame, column: str, value) -> DataFrame:
+    """Bloom-filter pruning for EQUALITY point lookups on any encoded
+    column — the unclustered complement of zone maps (`prune_chunks_on`
+    needs the column correlated with chunk order; a bloom prunes on a
+    column in any order). Drops whole chunks whose per-chunk bloom
+    proves ``column != value`` everywhere; chunks without a bloom
+    (high-cardinality or unsupported type) are kept — pruning is only
+    ever an optimization, never a correctness filter, so follow with
+    the actual predicate after decode.
+
+    Shape: an Arrow-batched probe over the target column's MANIFEST
+    rows only (one row per chunk — never data rows), then the same
+    chunk-identity semi-join as `prune_chunks_on`. ~1.2% false-positive
+    rate at the build parameters; false positives cost one extra chunk
+    decode, false negatives cannot happen (crc32 double-hashing is
+    process-stable)."""
+    from pyspark.sql import functions as F
+
+    stats = chunks.filter(F.col("column") == column)
+
+    def probe(batches):
+        for b in batches:
+            keep = [bloom_may_contain(pj, value)
+                    for pj in b.column("params").to_pylist()]
+            yield b.filter(pa.array(keep, pa.bool_()))
+
+    hits = stats.mapInArrow(probe, schema=stats.schema)
+    layout_cols = [
+        c for c in chunks.columns
+        if c not in {f.name for f in CHUNK_ARROW_SCHEMA}
+    ]
+    ident = layout_cols + ["part_id", "chunk_seq"]
+    return chunks.join(hits.select(*ident).distinct(), ident, "left_semi")
+
+
+def manifest_aggregate(chunks: DataFrame, column: str,
+                       cast: str = "string") -> DataFrame:
+    """count / null-aware min / max of an encoded column computed from
+    the chunk MANIFEST alone — zero blobs decoded, zero data rows read
+    (the classic columnar-metadata fast path: n_rows and the per-column
+    zone maps already carry the answer). ``cast`` is the column's own
+    Spark type: zone values are stored stringified, and min/max must
+    compare under the real type, not lexicographically ("10" < "9").
+    Null zones (all-null chunks) don't contribute to min/max, matching
+    SQL aggregate semantics; `n_rows` counts every row including nulls,
+    matching COUNT(*)."""
+    from pyspark.sql import functions as F
+
+    return (
+        chunks.filter(F.col("column") == column)
+        .agg(F.sum("n_rows").alias("count_rows"),
+             F.min(F.col("col_min").cast(cast)).alias("min_value"),
+             F.max(F.col("col_max").cast(cast)).alias("max_value"))
+    )

@@ -316,3 +316,109 @@ def snapshot_files(table_dir: str, snapshot_id: int | None = None,
     sid = snapshot_id if snapshot_id is not None else snaps[-1]
     manifest = store.read_json(_manifest_path(table_dir, sid))
     return _manifest_files(table_dir, manifest, store)
+
+
+def encode_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    snapshot_id: int | None = None,
+    store: FileStore | None = None,
+    cascade: bool = True,
+    profile: str = "balanced",
+    split_row_groups: bool | None = None,
+    **encode_kw,
+):
+    """THE deployment-default encode route: plan from the snapshot
+    manifest (file list + per-file row counts — no directory listing,
+    no data scan) and encode via the direct-scan path, where each
+    worker reads its parquet split with Arrow C++ inside the Python
+    worker — table bytes never cross the JVM→Python socket (the ~70%
+    overhead the generic ``encode_partitions`` route pays on Arrow
+    shipping, encoder.py:encode_files docstring).
+
+    Defaults are the deployment profile: balanced codec selection with
+    the zstd entropy cascade. ``split_row_groups`` defaults on when the
+    manifest's per-file stats show giant-file skew — any file larger
+    than the per-task row budget would run as one straggler task — the
+    north rule's mega-repo defense; off otherwise to skip the
+    footer-planning pass.
+    """
+    from ..encoder import CHUNK_ROWS, encode_files
+
+    files = snapshot_files(table_dir, snapshot_id, store)
+    paths = [f["path"] for f in files]
+    if split_row_groups is None:
+        budget = encode_kw.get("max_rows_per_task", 8 * CHUNK_ROWS)
+        rows = [f.get("rows") or 0 for f in files]
+        split_row_groups = bool(rows) and max(rows) > budget
+    return encode_files(spark, paths, cascade=cascade, profile=profile,
+                        split_row_groups=split_row_groups, **encode_kw)
+
+
+def expire_snapshots(
+    table_dir: str,
+    keep_last: int = 1,
+    store: FileStore | None = None,
+) -> list[int]:
+    """Iceberg ``expire_snapshots``: drop the manifests of all but the
+    newest ``keep_last`` snapshots (time travel to them ends; their
+    data files become vacuum-able if nothing newer references them).
+    Metadata-only — no data file is touched here. Returns the expired
+    snapshot ids."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    store = store or LocalStore()
+    snaps = list_snapshots(table_dir, store)
+    expired = snaps[:-keep_last] if len(snaps) > keep_last else []
+    for sid in expired:
+        manifest = store.read_json(_manifest_path(table_dir, sid))
+        if "files_dir" in manifest:
+            store.delete(manifest["files_dir"], recursive=True)
+        store.delete(_manifest_path(table_dir, sid))
+    return expired
+
+
+def vacuum(
+    table_dir: str,
+    store: FileStore | None = None,
+    dry_run: bool = False,
+) -> list[str]:
+    """Iceberg ``remove_orphan_files``: delete data files under the
+    table's own ``data/`` tree that no LIVE snapshot references —
+    the physical reclaim that must follow :func:`expire_snapshots`
+    (replace commits and expiry both strand files). Files imported
+    from OUTSIDE the table dir via :func:`commit_files` are never
+    touched (they are not under ``data/``). Returns the orphan paths
+    (deleted unless ``dry_run``).
+
+    Scale shape: referenced-set ∖ listed-set is a driver-side set
+    difference here (fine to millions); at the manifest-tree extreme
+    the same contract runs as a Spark anti-join of the shard frames
+    against the listing — the sharded manifests are already parquet,
+    so both sides load as DataFrames unchanged."""
+    store = store or LocalStore()
+    live: set[str] = set()
+    for sid in list_snapshots(table_dir, store):
+        manifest = store.read_json(_manifest_path(table_dir, sid))
+        live.update(f["path"] for f in _manifest_files(
+            table_dir, manifest, store))
+    data_root = posixpath.join(table_dir, "data")
+    orphans: list[str] = []
+    for sdir in store.listdir(data_root):
+        d = posixpath.join(data_root, sdir)
+        kept_any = False
+        for e in store.listdir(d):
+            p = posixpath.join(d, e)
+            if e.endswith(".parquet") and not e.startswith(("_", ".")):
+                if p in live:
+                    kept_any = True
+                else:
+                    orphans.append(p)
+            # _SUCCESS etc. ride along with their directory
+        if not dry_run:
+            for p in orphans:
+                if p.startswith(d + "/"):
+                    store.delete(p)
+            if not kept_any:
+                store.delete(d, recursive=True)
+    return orphans

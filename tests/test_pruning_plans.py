@@ -117,3 +117,73 @@ def test_col_zone_prune_stats_scan_reads_no_blobs(spark, chunk_table,
     got = decode_chunks(pruned, ordered=False).filter(flt).count()
     want = decode_chunks(reread, ordered=False).filter(flt).count()
     assert got == want > 0
+
+
+def test_bloom_prune_equality(spark, sf_dir):
+    """Per-chunk bloom filters prune whole chunks on EQUALITY over an
+    unclustered column (zone maps can't: the column is uncorrelated
+    with chunk order), with zero false negatives — pruned+filter ==
+    full+filter — and real pruning on a selective value."""
+    from pyspark.sql import functions as F
+
+    from parquet_producers_spark.encoder import (
+        decode_chunks,
+        encode_partitions,
+        prune_chunks_eq,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # sort by doc_id → lang is unclustered across chunks? No: lang
+    # correlates with nothing here, but with tiny gate data one chunk
+    # may hold everything; force many small chunks
+    chunks = encode_partitions(
+        docs, sort_cols=["doc_id"], partitions=4, chunk_rows=64,
+    ).localCheckpoint()
+
+    probe_lang = docs.select("lang").first()[0]
+    pruned = prune_chunks_eq(chunks, "lang", probe_lang)
+    got = (decode_chunks(pruned, ordered=False)
+           .filter(F.col("lang") == probe_lang))
+    want = docs.filter(F.col("lang") == probe_lang)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+    # a value that exists nowhere prunes (almost) every chunk:
+    # allow the documented ~1% fp rate, require >90% pruned
+    n_all = chunks.count()
+    n_miss = prune_chunks_eq(chunks, "lang", "no_such_lang_zz").count()
+    assert n_miss < n_all * 0.1
+
+    # equality on a doc_id present in exactly one chunk keeps few chunks
+    some_id = docs.agg(F.max("doc_id")).first()[0]
+    n_id = prune_chunks_eq(chunks, "doc_id", some_id).count()
+    assert n_id < n_all * 0.2
+    got_id = (decode_chunks(prune_chunks_eq(chunks, "doc_id", some_id),
+                            ordered=False)
+              .filter(F.col("doc_id") == some_id).count())
+    assert got_id == 1
+
+
+def test_manifest_aggregate_no_decode(spark, sf_dir):
+    """count/min/max straight from the chunk manifest — equals the real
+    aggregates, and the plan touches only the manifest frame (no
+    decode stage)."""
+    from pyspark.sql import functions as F
+
+    from parquet_producers_spark.encoder import (
+        encode_partitions,
+        manifest_aggregate,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chunks = encode_partitions(docs, sort_cols=["doc_id"], partitions=2,
+                               chunk_rows=128).localCheckpoint()
+    row = manifest_aggregate(chunks, "n_chars", cast="long").first()
+    want = docs.agg(
+        F.count("*"), F.min("n_chars"), F.max("n_chars")).first()
+    assert (row.count_rows, row.min_value, row.max_value) == \
+        (want[0], want[1], want[2])
+    # string column too (lexicographic is the column's own order)
+    row = manifest_aggregate(chunks, "lang").first()
+    wl = docs.agg(F.count("*"), F.min("lang"), F.max("lang")).first()
+    assert (row.count_rows, row.min_value, row.max_value) == tuple(wl)

@@ -248,3 +248,96 @@ def test_commit_files_10k_in_seconds(spark, tmp_path):
     assert len(files) == 10_000
     assert all(f["rows"] == 3 for f in files)
     assert elapsed < 60, f"10k-file commit took {elapsed:.1f}s"
+
+
+def test_encode_snapshot_deployment_route(spark, tmp_path):
+    """encode_snapshot = manifest file list → direct-scan encode with
+    the deployment codec defaults; bit-identical round-trip, and the
+    giant-file skew defense auto-arms from the manifest's per-file
+    stats."""
+    import hashlib
+
+    from parquet_producers_spark.datagen import source_code_df
+    from parquet_producers_spark.encoder import decode_chunks
+    from parquet_producers_spark.sources.snapshots import encode_snapshot
+
+    t = str(tmp_path / "tbl")
+    src = (
+        source_code_df(spark, 300, seed=21, partitions=2)
+        .repartitionByRange(3, "repo", "path")
+        .sortWithinPartitions("repo", "path")
+    )
+    commit_snapshot(spark, src, t)
+    decoded = decode_chunks(encode_snapshot(spark, t, key_col="repo"))
+
+    def digest(df):
+        h = hashlib.sha256()
+        for r in df.orderBy("repo", "path").collect():
+            h.update((r.repo + r.path + r.content).encode())
+        return h.hexdigest()
+
+    assert digest(decoded) == digest(read_snapshot(spark, t))
+
+    # skewed manifest (one file ≫ mean rows) arms split_row_groups:
+    # the giant multi-row-group file becomes multiple work units
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_producers_spark.sources.snapshots import commit_files
+
+    d = tmp_path / "skewdata"
+    d.mkdir()
+    giant = str(d / "giant.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array(range(8000), pa.int64()),
+                  "v": pa.array(["x" * 20] * 8000)}),
+        giant, row_group_size=1000)
+    small = str(d / "small.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array(range(8000, 8010), pa.int64()),
+                  "v": pa.array(["y" * 20] * 10)}),
+        small)
+    t2 = str(tmp_path / "skew")
+    commit_files(spark, t2, [giant, small])
+    units = (encode_snapshot(spark, t2, key_col="k", chunk_rows=512,
+                             max_rows_per_task=2000)
+             .select("part_id").distinct().count())
+    assert units > 2  # 2 files, but the giant one split into several units
+
+
+def test_expire_and_vacuum(spark, tmp_path):
+    """expire_snapshots drops old manifests (metadata-only); vacuum
+    then reclaims data files no live snapshot references — replace
+    commits strand files, expiry makes them orphans, vacuum deletes
+    them. Live snapshots' files survive; imported external files are
+    never touched."""
+    import os
+
+    from parquet_producers_spark.sources.snapshots import (
+        expire_snapshots,
+        vacuum,
+    )
+
+    t = str(tmp_path / "tbl")
+    s1 = commit_snapshot(spark, spark.createDataFrame(
+        [(1, "a")], "id int, v string").coalesce(1), t)
+    s2 = commit_snapshot(spark, spark.createDataFrame(
+        [(2, "b")], "id int, v string").coalesce(1), t, mode="append")
+    s3 = commit_snapshot(spark, spark.createDataFrame(
+        [(9, "z")], "id int, v string").coalesce(1), t, mode="replace")
+
+    # nothing expired yet: all files referenced by SOME snapshot
+    assert vacuum(t, dry_run=True) == []
+
+    assert expire_snapshots(t, keep_last=1) == [s1, s2]
+    assert list_snapshots(t) == [s3]
+    orphans = vacuum(t, dry_run=True)
+    assert len(orphans) == 2  # s1's and s2's data files
+    assert all(os.path.exists(p) for p in orphans)  # dry run: untouched
+    assert sorted(vacuum(t)) == sorted(orphans)
+    assert not any(os.path.exists(p) for p in orphans)
+    # the live snapshot still reads
+    assert [tuple(r) for r in read_snapshot(spark, t).collect()] == [(9, "z")]
+    # time travel to expired ids is gone
+    with pytest.raises((ValueError, FileNotFoundError)):
+        read_snapshot(spark, t, s1)
