@@ -672,3 +672,67 @@ def manifest_aggregate(chunks: DataFrame, column: str,
              F.min(F.col("col_min").cast(cast)).alias("min_value"),
              F.max(F.col("col_max").cast(cast)).alias("max_value"))
     )
+
+
+def encode_staged(
+    spark,
+    df: DataFrame,
+    spill_dir: str,
+    sort_cols: list[str],
+    partitions: int | None = None,
+    key_col: str | None = None,
+    **encode_kw,
+) -> DataFrame:
+    """Two-phase encode for ARBITRARY (unsorted) input at scale: phase 1
+    shuffle-sorts ``df`` and spills it as sorted parquet — a pure JVM
+    job (whole-stage codegen scan → exchange → sort → parquet write)
+    that scales with executors; phase 2 encodes the spilled files via
+    the direct-scan path, where each worker reads its file with Arrow
+    C++ inside the Python worker.
+
+    Why: the one-phase ``encode_partitions`` route ships every table
+    byte across the JVM→Python Arrow socket — measured ~70% of
+    wall-clock at local[16] and the reason its single-box scaling sits
+    below the direct path's. Staging keeps the Python boundary cost
+    O(files read worker-locally) instead of O(bytes shipped), so the
+    generic route scales like the direct route at the price of one
+    extra parquet round-trip — the classic sort-spill a distributed
+    sort pays anyway. The spill is also a resumable artifact: a crashed
+    encode re-runs phase 2 only.
+
+    ``sort_cols`` is also the default zone-map key (``key_col``)."""
+    n = partitions or spark.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(n, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite").parquet(spill_dir)
+    )
+    # manifest-free listing is fine here: the spill dir is private to
+    # this call (Spark's _SUCCESS marks it complete)
+    files = [f.path for f in _list_parquet(spark, spill_dir)]
+    return encode_files(
+        spark, files, key_col=key_col or sort_cols[0], **encode_kw)
+
+
+def _list_parquet(spark, directory: str):
+    """List *.parquet children via the session's Hadoop FileSystem (so
+    file://, hdfs:// and s3a:// all work)."""
+    from collections import namedtuple
+
+    Entry = namedtuple("Entry", "path")
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(directory)
+    fs = p.getFileSystem(hconf)
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.endswith(".parquet") and not name.startswith(("_", ".")):
+            uri = st.getPath().toUri()
+            # local files come back as `file:/x` URIs — hand pyarrow a
+            # plain OS path; real schemes (hdfs/s3a) keep their URI form
+            if uri.getScheme() in (None, "file"):
+                out.append(Entry(uri.getPath()))
+            else:
+                out.append(Entry(st.getPath().toString()))
+    return sorted(out)

@@ -220,3 +220,29 @@ def test_encode_files_splits_giant_file_row_groups(spark, tmp_path):
         ordered=False)
     assert sorted(tuple(r) for r in decoded.collect()) == \
         sorted(tuple(r) for r in whole.collect())
+
+
+def test_encode_staged_parity(spark, tmp_path):
+    """Two-phase staged encode (shuffle-sort spill → direct-scan encode)
+    decodes identically to the one-phase encode_partitions route on the
+    same unsorted input."""
+    import hashlib
+
+    from parquet_producers_spark.encoder import encode_staged
+
+    src = source_code_df(spark, 600, seed=99, partitions=5)  # unsorted
+
+    def digest(df):
+        h = hashlib.sha256()
+        for r in df.orderBy("repo", "path").collect():
+            h.update((r.repo + r.path + r.commit + r.content).encode())
+        return h.hexdigest()
+
+    staged = decode_chunks(
+        encode_staged(spark, src, str(tmp_path / "spill"),
+                      sort_cols=["repo", "path"], partitions=3),
+        ordered=False)
+    onephase = decode_chunks(
+        encode_partitions(src, sort_cols=["repo", "path"], partitions=3),
+        ordered=False)
+    assert digest(staged) == digest(onephase) == digest(src)
