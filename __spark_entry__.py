@@ -537,6 +537,43 @@ def q_codec_manifest_agg(spark, sf):
     )
 
 
+def q_codec_incremental_waves(spark, sf):
+    """The north-rule composition end-to-end: the documents table
+    lands in an Iceberg-shaped snapshot table in two append commits;
+    each commit triggers an incremental encode wave
+    (sources/snapshots.py::encode_table_incremental) that encodes ONLY
+    the delta's files into a new chunk-store version; decoding the
+    union of waves (read_encoded_table) must equal the full raw table.
+    Oracle: per-lang aggregate + content hashsum over documents."""
+    from parquet_producers_spark.encoder import decode_chunks
+    from parquet_producers_spark.sources.snapshots import (
+        commit_snapshot,
+        encode_table_incremental,
+        read_encoded_table,
+    )
+
+    _ensure_pkg(spark)
+    root = _scratch(spark, "incwaves")
+    t = os.path.join(root, "tbl")
+    enc = os.path.join(root, "enc")
+    d = _t(spark, sf, "documents")
+    commit_snapshot(spark, d.filter(F.col("doc_id") < 250).coalesce(2), t)
+    encode_table_incremental(spark, t, enc, "docs", sort_cols=["doc_id"],
+                             n_slices=2, chunk_rows=512)
+    commit_snapshot(spark, d.filter(F.col("doc_id") >= 250).coalesce(2), t,
+                    mode="append")
+    encode_table_incremental(spark, t, enc, "docs", sort_cols=["doc_id"],
+                             n_slices=2, chunk_rows=512)
+    decoded = decode_chunks(read_encoded_table(spark, enc, "docs"))
+    hash60 = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("bigint")
+    return (
+        decoded.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").cast("bigint").alias("total_chars"),
+             F.sum(F.pmod(hash60, F.lit(1000000007))).alias("text_hashsum"))
+    )
+
+
 def q_codec_compaction(spark, sf):
     """Maintenance op ON the encoded format (compaction.py — the chunk
     table's rewrite_data_files): encode documents into a deliberately
@@ -1249,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_pruned_scan": q_codec_pruned_scan,
         "codec_bloom_prune": q_codec_bloom_prune,
         "codec_manifest_agg": q_codec_manifest_agg,
+        "codec_incremental_waves": q_codec_incremental_waves,
         "region_customer_count": q_region_customer_count,
         "event_type_stats": q_event_type_stats,
     }
@@ -2151,6 +2189,18 @@ SELECT CAST(COUNT(*) AS BIGINT) AS count_rows,
        CAST(MIN(n_chars) AS BIGINT) AS min_value,
        CAST(MAX(n_chars) AS BIGINT) AS max_value
 FROM documents
+"""
+
+    # incremental waves are invisible to readers: the union of encoded
+    # deltas decodes to exactly the raw table
+    sql["codec_incremental_waves"] = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+                % 1000000007) AS BIGINT) AS text_hashsum
+FROM documents
+GROUP BY lang
 """
 
     # compaction is invisible to readers: decoded aggregates equal the

@@ -422,3 +422,98 @@ def vacuum(
             if not kept_any:
                 store.delete(d, recursive=True)
     return orphans
+
+
+def _snapshot_map_path(enc_root: str, stage: str) -> str:
+    return posixpath.join(enc_root, stage, "_snapshot_map.json")
+
+
+def encode_table_incremental(
+    spark: SparkSession,
+    table_dir: str,
+    enc_root: str,
+    stage: str,
+    sort_cols: list[str],
+    store: FileStore | None = None,
+    **encode_kw,
+) -> dict:
+    """One INCREMENTAL encode wave over the snapshot table — the full
+    composition the north rule describes: an Iceberg-shaped source of
+    source-code files feeding a checkpointed, partition-parallel sorted
+    encode, where each wave reads ONLY the files added since the last
+    encoded snapshot (never a rescan of the table).
+
+    Chunk-store version N covers table snapshot s_N; the mapping lives
+    in ``<enc_root>/<stage>/_snapshot_map.json`` (atomic write, same
+    commit discipline as everything else). Wave mechanics: diff the
+    latest table snapshot against the last covered one
+    (:func:`snapshot_diff` — file-identity, manifest-only planning),
+    shuffle-sort just the delta and encode it via
+    :func:`~..storage.encode_run` (hash-sliced, per-slice atomic
+    manifests, exact resume *within* the wave). Readers union waves
+    through :func:`read_encoded_table`.
+
+    Returns ``{"version", "snapshot", "rows"}``; a no-change wave
+    returns the previous mapping with ``rows=0`` and writes nothing.
+    """
+    from ..storage import encode_run
+
+    store = store or LocalStore()
+    latest = list_snapshots(table_dir, store)[-1]
+    map_path = _snapshot_map_path(enc_root, stage)
+    smap = (store.read_json(map_path) if store.exists(map_path)
+            else {"waves": []})
+    waves = smap["waves"]
+    last_snap = waves[-1]["snapshot"] if waves else None
+    if last_snap == latest:
+        return {**waves[-1], "rows": 0}
+    delta = (snapshot_diff(spark, table_dir, last_snap, latest)
+             if last_snap is not None
+             else read_snapshot(spark, table_dir, latest))
+    delta = delta.localCheckpoint(eager=False)
+    n_rows = delta.count()
+    if n_rows == 0:
+        # a newer snapshot with no new rows (empty append / replace with
+        # identical files): advance the covered-snapshot marker so later
+        # diffs use the new baseline, but encode nothing
+        if waves:
+            waves[-1]["snapshot"] = latest
+            store.write_json_atomic(map_path, smap)
+            return {**waves[-1], "rows": 0}
+        return {"version": 0, "snapshot": latest, "rows": 0}
+    version = (waves[-1]["version"] + 1) if waves else 1
+    encode_run(spark, delta, enc_root, stage, version=version,
+               sort_cols=sort_cols,
+               input_fingerprint=f"{table_dir}@s{latest}", **encode_kw)
+    waves.append({"version": version, "snapshot": latest})
+    store.write_json_atomic(_snapshot_map_path(enc_root, stage), smap)
+    return {"version": version, "snapshot": latest, "rows": int(n_rows)}
+
+
+def read_encoded_table(
+    spark: SparkSession,
+    enc_root: str,
+    stage: str,
+    store: FileStore | None = None,
+) -> DataFrame:
+    """Chunk rows of EVERY encoded wave, each tagged with an
+    ``enc_version`` layout column so :func:`~..encoder.decode_chunks`
+    groups chunks per (wave, slice, partition, seq) — part_ids from
+    different waves can never collide into one decode group. Decode of
+    this union equals the latest table snapshot for append-only
+    tables."""
+    from pyspark.sql import functions as F
+
+    from ..storage import read_chunks
+
+    store = store or LocalStore()
+    smap = store.read_json(_snapshot_map_path(enc_root, stage))
+    frames = [
+        read_chunks(spark, enc_root, stage, w["version"])
+        .withColumn("enc_version", F.lit(int(w["version"])))
+        for w in smap["waves"]
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
