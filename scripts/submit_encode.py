@@ -45,6 +45,12 @@ def main() -> None:
                     choices=["size", "balanced", "fast"])
     ap.add_argument("--cascade", action="store_true")
     ap.add_argument("--chunk-rows", type=int, default=None)
+    ap.add_argument("--snapshot-table", default=None,
+                    help="treat this dir as a snapshot-manifest table "
+                         "and run ONE incremental encode wave: encode "
+                         "only the files added since the last encoded "
+                         "snapshot into chunk-store version N+1 "
+                         "(sources/snapshots.py::encode_table_incremental)")
     ap.add_argument("--maintain", action="store_true",
                     help="instead of encoding, run the compaction policy "
                          "gate on --stage/--version: if the runt fraction "
@@ -57,8 +63,9 @@ def main() -> None:
     # path — this file must not import the package at module scope
     from pyspark.sql import SparkSession
 
-    if not args.maintain and not args.input:
-        ap.error("--input is required unless --maintain")
+    if not args.maintain and not args.input and not args.snapshot_table:
+        ap.error("--input or --snapshot-table is required unless"
+                 " --maintain")
     if args.maintain:
         from parquet_producers_spark.compaction import compact_if_needed
 
@@ -76,6 +83,23 @@ def main() -> None:
             "compacted": int(new_version != args.version),
             "read_version": new_version,
         }, separators=(",", ":")))
+        spark.stop()
+        return
+
+    if args.snapshot_table:
+        from parquet_producers_spark.sources.snapshots import (
+            encode_table_incremental,
+        )
+
+        spark = SparkSession.builder.appName("pps-encode-wave").getOrCreate()
+        wave = encode_table_incremental(
+            spark, args.snapshot_table, args.output, args.stage,
+            sort_cols=args.sort_cols.split(","),
+            n_slices=args.slices, cascade=args.cascade,
+            profile=args.profile, chunk_rows=args.chunk_rows,
+        )
+        print(json.dumps({"stage": args.stage, **wave},
+                         separators=(",", ":")))
         spark.stop()
         return
 

@@ -86,3 +86,57 @@ def test_spark_submit_pyfiles_encode_and_resume(spark, tmp_path):
                      if ln.startswith("{")][-1])
     assert m3["compacted"] == 1 and m3["read_version"] == 2
     assert os.path.isdir(os.path.join(out_root, "docs", "v=2", "chunks"))
+
+
+@pytest.mark.skipif(not shutil.which("java"), reason="needs a JVM")
+def test_spark_submit_snapshot_wave(spark, tmp_path):
+    """Deployment loop leg 3: submit --snapshot-table runs ONE
+    incremental encode wave in a fresh JVM — first submit encodes the
+    whole first snapshot, a re-submit with no new table commit is a
+    zero-row no-op wave, and a commit + re-submit encodes only the
+    delta."""
+    from parquet_producers_spark.sources.snapshots import commit_snapshot
+
+    t = str(tmp_path / "tbl")
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "lang", "text")
+    commit_snapshot(spark, d.filter("doc_id < 400").coalesce(2), t)
+
+    subprocess.run([sys.executable, os.path.join(ROOT, "scripts",
+                                                 "make_pyfiles.py")],
+                   check=True, cwd=ROOT, capture_output=True)
+    zip_path = os.path.join(ROOT, "dist", "parquet_producers_spark.zip")
+    out_root = str(tmp_path / "enc")
+    cmd = [
+        _spark_submit(), "--master", "local[4]",
+        "--py-files", zip_path,
+        "--conf", "spark.sql.shuffle.partitions=4",
+        os.path.join(ROOT, "scripts", "submit_encode.py"),
+        "--snapshot-table", t, "--output", out_root, "--stage", "docs",
+        "--sort-cols", "doc_id", "--slices", "2", "--profile", "size",
+    ]
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+
+    r1 = subprocess.run(cmd, capture_output=True, text=True, timeout=300,
+                        env=env)
+    assert r1.returncode == 0, r1.stderr[-3000:]
+    m1 = json.loads([ln for ln in r1.stdout.splitlines()
+                     if ln.startswith("{")][-1])
+    assert m1["version"] == 1 and m1["rows"] == 400
+
+    # no new commit → no-op wave
+    r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=300,
+                        env=env)
+    m2 = json.loads([ln for ln in r2.stdout.splitlines()
+                     if ln.startswith("{")][-1])
+    assert m2["version"] == 1 and m2["rows"] == 0
+
+    # append commit → next submit encodes ONLY the delta
+    commit_snapshot(spark, d.filter("doc_id >= 400").coalesce(1), t,
+                    mode="append")
+    r3 = subprocess.run(cmd, capture_output=True, text=True, timeout=300,
+                        env=env)
+    m3 = json.loads([ln for ln in r3.stdout.splitlines()
+                     if ln.startswith("{")][-1])
+    assert m3["version"] == 2 and m3["rows"] == 100
