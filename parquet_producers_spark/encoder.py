@@ -636,7 +636,14 @@ def prune_chunks_eq(chunks: DataFrame, column: str, value) -> DataFrame:
     process-stable)."""
     from pyspark.sql import functions as F
 
-    stats = chunks.filter(F.col("column") == column)
+    layout_cols = [
+        c for c in chunks.columns
+        if c not in {f.name for f in CHUNK_ARROW_SCHEMA}
+    ]
+    ident = layout_cols + ["part_id", "chunk_seq"]
+    # probe a NARROW manifest projection (identity + params only): the
+    # blobs must never ship JVM→Python just to read their params JSON
+    stats = chunks.filter(F.col("column") == column).select(*ident, "params")
 
     def probe(batches):
         for b in batches:
@@ -645,11 +652,6 @@ def prune_chunks_eq(chunks: DataFrame, column: str, value) -> DataFrame:
             yield b.filter(pa.array(keep, pa.bool_()))
 
     hits = stats.mapInArrow(probe, schema=stats.schema)
-    layout_cols = [
-        c for c in chunks.columns
-        if c not in {f.name for f in CHUNK_ARROW_SCHEMA}
-    ]
-    ident = layout_cols + ["part_id", "chunk_seq"]
     return chunks.join(hits.select(*ident).distinct(), ident, "left_semi")
 
 

@@ -407,18 +407,19 @@ def vacuum(
     for sdir in store.listdir(data_root):
         d = posixpath.join(data_root, sdir)
         kept_any = False
+        dir_orphans: list[str] = []
         for e in store.listdir(d):
             p = posixpath.join(d, e)
             if e.endswith(".parquet") and not e.startswith(("_", ".")):
                 if p in live:
                     kept_any = True
                 else:
-                    orphans.append(p)
+                    dir_orphans.append(p)
             # _SUCCESS etc. ride along with their directory
+        orphans.extend(dir_orphans)
         if not dry_run:
-            for p in orphans:
-                if p.startswith(d + "/"):
-                    store.delete(p)
+            for p in dir_orphans:
+                store.delete(p)
             if not kept_any:
                 store.delete(d, recursive=True)
     return orphans

@@ -187,3 +187,25 @@ def test_manifest_aggregate_no_decode(spark, sf_dir):
     row = manifest_aggregate(chunks, "lang").first()
     wl = docs.agg(F.count("*"), F.min("lang"), F.max("lang")).first()
     assert (row.count_rows, row.min_value, row.max_value) == tuple(wl)
+
+
+def test_bloom_probe_scan_prunes_blob_column(spark, sf_dir, tmp_path):
+    """The bloom probe side must scan only (identity, params) from an
+    at-rest chunk table — never the data blobs (parquet column pruning
+    visible in the probe scan's ReadSchema)."""
+    from parquet_producers_spark.encoder import (
+        encode_partitions,
+        prune_chunks_eq,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "chunks")
+    encode_partitions(docs, sort_cols=["doc_id"], partitions=2,
+                      chunk_rows=128).write.parquet(path)
+    chunks = spark.read.parquet(path)
+    plan = prune_chunks_eq(chunks, "lang", "en") \
+        ._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    probe_scans = [s for s in scans
+                   if "params" in s and "data" not in s.split("ReadSchema")[1]]
+    assert probe_scans, f"no blob-free probe scan found:\n{plan[:4000]}"
