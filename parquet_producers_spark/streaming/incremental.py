@@ -68,3 +68,48 @@ def windowed_event_counts(
             key_col, "n", "total_value",
         )
     )
+
+
+def stream_into_encoded_store(
+    stream_df: DataFrame,
+    enc_root: str,
+    stage: str,
+    sort_cols: list[str],
+    checkpoint: str,
+    n_slices: int = 4,
+    **encode_kw,
+):
+    """Streaming ingestion INTO the encoded chunk-store format: each
+    micro-batch becomes one encode wave — a new chunk-store version
+    holding the batch's rows, written through
+    :func:`~..storage.encode_run` (hash-sliced, per-slice atomic
+    manifests). Exactly-once is two-level, same as
+    :func:`stream_into_pipeline`: Spark's streaming checkpoint
+    guarantees batch delivery once, and a replayed batch re-enters the
+    SAME version (version = batch ordinal) where finished slices
+    resume from their manifests instead of re-encoding.
+
+    Readers union versions exactly like snapshot waves
+    (`sources.snapshots.read_encoded_table` shape): tag each version
+    frame with a layout column and decode — or run compaction to fold
+    runt batch-tails into full chunks."""
+    from ..storage import encode_run
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # version is the batch ordinal, so a replayed batch re-enters
+        # ITS OWN version and resumes from the slice manifests
+        encode_run(
+            batch_df.sparkSession, batch_df.localCheckpoint(eager=False),
+            root=enc_root, stage=stage, version=int(batch_id) + 1,
+            sort_cols=sort_cols, n_slices=n_slices,
+            input_fingerprint=f"stream-batch-{batch_id}", **encode_kw)
+
+    return (
+        stream_df.writeStream
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -268,3 +268,56 @@ def test_sessionize_tws_matches_batch(spark, tmp_path, sf_dir):
                    if k[1] != last_sid[k[0]]}
     assert got == want_closed
     assert len(got) > 10
+
+
+def test_stream_into_encoded_store(spark, tmp_path):
+    """Streaming ingestion into the chunk-store format: each
+    micro-batch becomes one encoded version (batch ordinal + 1); the
+    streaming checkpoint gives exactly-once across restarts, and the
+    union of versions decodes to everything ingested."""
+    from pyspark.sql import functions as F
+
+    from parquet_producers_spark.encoder import decode_chunks
+    from parquet_producers_spark.storage import list_versions, read_chunks
+    from parquet_producers_spark.streaming.incremental import (
+        stream_into_encoded_store,
+    )
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    enc = str(tmp_path / "enc")
+    os.makedirs(in_dir)
+    spark.createDataFrame(
+        [(i, f"alpha beta w{i}") for i in range(50)],
+        "doc_id int, text string").coalesce(1) \
+        .write.mode("overwrite").parquet(in_dir + "/f1")
+
+    def run_wave():
+        stream = spark.readStream.schema("doc_id int, text string") \
+            .parquet(in_dir + "/*")
+        q = stream_into_encoded_store(
+            stream, enc, "docs", sort_cols=["doc_id"], checkpoint=ckpt,
+            n_slices=2, chunk_rows=16)
+        q.awaitTermination(120)
+
+    run_wave()
+    vs1 = list_versions(enc, "docs")
+    assert len(vs1) == 1
+
+    # second file → second wave → ONE new version (checkpoint skips f1)
+    spark.createDataFrame(
+        [(i, f"gamma w{i}") for i in range(50, 70)],
+        "doc_id int, text string").coalesce(1) \
+        .write.mode("overwrite").parquet(in_dir + "/f2")
+    run_wave()
+    vs2 = list_versions(enc, "docs")
+    assert len(vs2) == 2
+
+    frames = [
+        read_chunks(spark, enc, "docs", v)
+        .withColumn("enc_version", F.lit(int(v))) for v in vs2
+    ]
+    decoded = decode_chunks(frames[0].unionByName(frames[1]),
+                            ordered=False)
+    assert decoded.count() == 70
+    assert decoded.agg(F.sum("doc_id")).first()[0] == sum(range(70))
