@@ -518,3 +518,46 @@ def read_encoded_table(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def consolidate_encoded_table(
+    spark: SparkSession,
+    enc_root: str,
+    stage: str,
+    sort_cols: list[str],
+    min_waves: int = 2,
+    store: FileStore | None = None,
+    **encode_kw,
+) -> dict:
+    """MAJOR compaction across encode waves: incremental/streaming
+    ingestion accumulates one chunk-store version per wave, each sorted
+    only within itself; this folds every wave into ONE new version,
+    globally re-sorted on ``sort_cols`` (waves overlap in keyspace, so
+    unlike the single-version runt compaction in ``compaction.py``
+    nothing can pass through untouched — a major compaction is a full
+    rewrite by definition). The snapshot map is atomically replaced
+    with the single consolidated wave, so readers flip at one commit
+    point; superseded version dirs stay on disk for in-flight readers
+    (delete them in a later maintenance pass, mirroring
+    :func:`vacuum`'s discipline).
+
+    No-op (returns the current mapping) below ``min_waves`` waves."""
+    from ..encoder import decode_chunks
+    from ..storage import encode_run
+
+    store = store or LocalStore()
+    map_path = _snapshot_map_path(enc_root, stage)
+    smap = store.read_json(map_path)
+    waves = smap["waves"]
+    if len(waves) < min_waves:
+        return {**waves[-1], "consolidated": 0}
+    rows = decode_chunks(read_encoded_table(spark, enc_root, stage, store))
+    version = waves[-1]["version"] + 1
+    encode_run(spark, rows, enc_root, stage, version=version,
+               sort_cols=sort_cols,
+               input_fingerprint=f"consolidate<{[w['version'] for w in waves]}",
+               **encode_kw)
+    smap["waves"] = [{"version": version, "snapshot": waves[-1]["snapshot"],
+                      "consolidated_from": [w["version"] for w in waves]}]
+    store.write_json_atomic(map_path, smap)
+    return {**smap["waves"][0], "consolidated": 1}

@@ -390,3 +390,52 @@ def test_encode_table_incremental_waves(spark, tmp_path):
     decoded = decode_chunks(read_encoded_table(spark, enc, "code"),
                             ordered=False)
     assert digest(decoded) == digest(read_snapshot(spark, t))
+
+
+def test_consolidate_encoded_waves(spark, tmp_path):
+    """Major compaction across waves: two incremental encode waves fold
+    into one globally re-sorted version; the snapshot map flips
+    atomically, decode parity holds, and the consolidated store is a
+    single version with full-size chunks."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from parquet_producers_spark.datagen import source_code_df
+    from parquet_producers_spark.encoder import decode_chunks
+    from parquet_producers_spark.sources.snapshots import (
+        consolidate_encoded_table,
+        encode_table_incremental,
+        read_encoded_table,
+    )
+
+    t = str(tmp_path / "tbl")
+    enc = str(tmp_path / "enc")
+    full = source_code_df(spark, 400, seed=31, partitions=2).cache()
+    first = full.filter("pmod(hash(path), 10) < 6")
+    commit_snapshot(spark, first.coalesce(2), t)
+    encode_table_incremental(spark, t, enc, "code",
+                             sort_cols=["repo", "path"], n_slices=2)
+    commit_snapshot(spark, full.subtract(first).coalesce(2), t,
+                    mode="append")
+    encode_table_incremental(spark, t, enc, "code",
+                             sort_cols=["repo", "path"], n_slices=2)
+
+    out = consolidate_encoded_table(spark, enc, "code",
+                                    sort_cols=["repo", "path"], n_slices=2)
+    assert out["consolidated"] == 1 and out["version"] == 3
+
+    merged = read_encoded_table(spark, enc, "code")
+    assert merged.select("enc_version").distinct().count() == 1
+
+    def digest(df):
+        h = hashlib.sha256()
+        for r in df.orderBy("repo", "path").collect():
+            h.update((r.repo + r.path + r.commit + r.content).encode())
+        return h.hexdigest()
+
+    assert digest(decode_chunks(merged)) == digest(read_snapshot(spark, t))
+    # a second consolidate is a no-op (single wave)
+    again = consolidate_encoded_table(spark, enc, "code",
+                                      sort_cols=["repo", "path"])
+    assert again["consolidated"] == 0 and again["version"] == 3
