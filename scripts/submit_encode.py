@@ -57,15 +57,59 @@ def main() -> None:
                          "clears --min-runt-fraction, rewrite runts into "
                          "version+1 (survivors pass through byte-identical)")
     ap.add_argument("--min-runt-fraction", type=float, default=0.25)
+    ap.add_argument("--consolidate", action="store_true",
+                    help="major compaction: fold the wave versions a "
+                         "--snapshot-table ingestion accumulated under "
+                         "--output/--stage into ONE globally re-sorted "
+                         "version (no-op below --min-waves)")
+    ap.add_argument("--min-waves", type=int, default=2)
+    ap.add_argument("--expire-keep", type=int, default=None,
+                    help="snapshot-table GC: expire all but the newest N "
+                         "snapshots of --snapshot-table, then vacuum "
+                         "orphan data files")
     args = ap.parse_args()
 
     # import AFTER spark-submit has placed the --py-files zip on the
     # path — this file must not import the package at module scope
     from pyspark.sql import SparkSession
 
-    if not args.maintain and not args.input and not args.snapshot_table:
+    if (not args.maintain and not args.consolidate
+            and args.expire_keep is None
+            and not args.input and not args.snapshot_table):
         ap.error("--input or --snapshot-table is required unless"
-                 " --maintain")
+                 " --maintain/--consolidate/--expire-keep")
+    if args.consolidate:
+        from parquet_producers_spark.sources.snapshots import (
+            consolidate_encoded_table,
+        )
+
+        spark = SparkSession.builder.appName("pps-consolidate").getOrCreate()
+        out = consolidate_encoded_table(
+            spark, args.output, args.stage,
+            sort_cols=args.sort_cols.split(","),
+            min_waves=args.min_waves, n_slices=args.slices,
+            cascade=args.cascade, profile=args.profile,
+            chunk_rows=args.chunk_rows,
+        )
+        print(json.dumps({"stage": args.stage, **out},
+                         separators=(",", ":")))
+        spark.stop()
+        return
+    if args.expire_keep is not None:
+        from parquet_producers_spark.sources.snapshots import (
+            expire_snapshots,
+            vacuum,
+        )
+
+        if not args.snapshot_table:
+            ap.error("--expire-keep needs --snapshot-table")
+        expired = expire_snapshots(args.snapshot_table,
+                                   keep_last=args.expire_keep)
+        orphans = vacuum(args.snapshot_table)
+        print(json.dumps({"expired": expired,
+                          "orphans_deleted": len(orphans)},
+                         separators=(",", ":")))
+        return
     if args.maintain:
         from parquet_producers_spark.compaction import compact_if_needed
 

@@ -140,3 +140,71 @@ def test_spark_submit_snapshot_wave(spark, tmp_path):
     m3 = json.loads([ln for ln in r3.stdout.splitlines()
                      if ln.startswith("{")][-1])
     assert m3["version"] == 2 and m3["rows"] == 100
+
+
+@pytest.mark.skipif(not shutil.which("java"), reason="needs a JVM")
+def test_spark_submit_consolidate_and_expire(spark, tmp_path):
+    """Deployment loop legs 4+5 in fresh JVMs: --consolidate folds the
+    ingested waves into one version; --expire-keep GCs old table
+    snapshots and vacuums orphan data files."""
+    import glob
+
+    from parquet_producers_spark.sources.snapshots import (
+        commit_snapshot,
+        encode_table_incremental,
+        list_snapshots,
+    )
+
+    t = str(tmp_path / "tbl")
+    enc = str(tmp_path / "enc")
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "lang", "text")
+    commit_snapshot(spark, d.filter("doc_id < 300").coalesce(1), t)
+    encode_table_incremental(spark, t, enc, "docs", sort_cols=["doc_id"],
+                             n_slices=2)
+    commit_snapshot(spark, d.filter("doc_id >= 300").coalesce(1), t,
+                    mode="append")
+    encode_table_incremental(spark, t, enc, "docs", sort_cols=["doc_id"],
+                             n_slices=2)
+
+    subprocess.run([sys.executable, os.path.join(ROOT, "scripts",
+                                                 "make_pyfiles.py")],
+                   check=True, cwd=ROOT, capture_output=True)
+    zip_path = os.path.join(ROOT, "dist", "parquet_producers_spark.zip")
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+
+    r = subprocess.run([
+        _spark_submit(), "--master", "local[4]",
+        "--py-files", zip_path,
+        "--conf", "spark.sql.shuffle.partitions=4",
+        os.path.join(ROOT, "scripts", "submit_encode.py"),
+        "--consolidate", "--output", enc, "--stage", "docs",
+        "--sort-cols", "doc_id", "--slices", "2",
+    ], capture_output=True, text=True, timeout=300, env=env)
+    assert r.returncode == 0, r.stderr[-3000:]
+    m = json.loads([ln for ln in r.stdout.splitlines()
+                    if ln.startswith("{")][-1])
+    assert m["consolidated"] == 1 and m["version"] == 3
+
+    # a replace commit supersedes the append chain, so expiry actually
+    # strands the old snapshots' data files (append keeps referencing
+    # them; replace does not)
+    commit_snapshot(spark, d.coalesce(1), t, mode="replace")
+    # expire + vacuum: pure metadata leg (no session needed, but same
+    # entrypoint) — plain python is enough since it never touches Spark
+    r2 = subprocess.run([
+        sys.executable, os.path.join(ROOT, "scripts", "submit_encode.py"),
+        "--expire-keep", "1", "--snapshot-table", t,
+        "--output", enc, "--stage", "docs",
+    ], capture_output=True, text=True, timeout=120,
+        env={**env, "PYTHONPATH": ROOT})
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    m2 = json.loads([ln for ln in r2.stdout.splitlines()
+                     if ln.startswith("{")][-1])
+    assert m2["expired"] == [1, 2] and m2["orphans_deleted"] >= 2
+    assert list_snapshots(t) == [3]
+    # consolidated store still reads fine (it holds its own data)
+    assert len(glob.glob(os.path.join(enc, "docs", "v=3", "chunks",
+                                      "**", "*.parquet"),
+                         recursive=True)) > 0
