@@ -798,13 +798,17 @@ def _write_bench_md(result: dict) -> None:
                              " input: the timed job is shuffle-sort"
                              " spill to parquet (pure JVM) THEN"
                              " direct-scan encode of the spill — what"
-                             " arbitrary unsorted input pays. Scales"
-                             " like the direct path because the Python"
-                             " boundary only sees worker-local file"
-                             " reads, unlike the one-phase"
-                             " encode_partitions rows above whose"
-                             " JVM→Python Arrow shipping is the"
-                             " documented single-box scaling drag",
+                             " arbitrary unsorted input pays."
+                             " Beats the one-phase encode_partitions"
+                             " route 26-40% in ABSOLUTE throughput at"
+                             " both levels (no per-byte JVM→Python"
+                             " shipping), but its measured raw"
+                             " efficiency sits below the direct rows:"
+                             " the spill phase is a local-DISK shuffle"
+                             " write whose bandwidth does not grow"
+                             " with threads on one box — on a real"
+                             " cluster that phase scales with machines"
+                             " (each executor spills to its own disks)",
             "deploy_scaled_quarterbox": "deployment-default route,"
                              " QUARTER-BOX N→4N pair (half the cores"
                              " per level, same 4× ratio, same input):"
