@@ -738,3 +738,61 @@ def _list_parquet(spark, directory: str):
             else:
                 out.append(Entry(st.getPath().toString()))
     return sorted(out)
+
+
+def read_where(
+    chunks: DataFrame,
+    columns: list[str] | None = None,
+    key_range: tuple | None = None,
+    ranges: dict | None = None,
+    equals: dict | None = None,
+    range_casts: dict | None = None,
+) -> DataFrame:
+    """THE unified read path over an encoded chunk table: compose every
+    pruning layer the format offers, in cheapest-first order, then
+    decode survivors and apply the EXACT predicates — so pruning is
+    always an optimization, never a correctness filter.
+
+    Order (each step only ever shrinks the manifest frame):
+
+    1. ``key_range=(lo, hi)`` — lead-key zone maps (`prune_chunks`):
+       plain predicates that Spark pushes into the chunk-table scan.
+       Zone-granular: boundary chunks may carry rows just outside the
+       range, so apply the exact key predicate on the result (the key's
+       stringified zone form can't be cast back generically here —
+       `ranges` and `equals` below ARE applied exactly).
+    2. ``ranges={col: (lo, hi)}`` — per-column zone maps
+       (`prune_chunks_on`; ``range_casts[col]`` is the Spark type to
+       compare under, default ``"long"``).
+    3. ``equals={col: value}`` — per-chunk bloom filters
+       (`prune_chunks_eq`): equality pruning on unclustered columns.
+    4. ``columns`` — column projection (`project_chunks`) AFTER chunk
+       pruning, widened with the predicate columns so the exact filters
+       below can run; predicate-only columns are dropped at the end.
+    5. decode + exact predicates.
+
+    Null semantics match SQL: range and equality predicates never match
+    null values."""
+    from pyspark.sql import functions as F
+
+    out = chunks
+    if key_range is not None:
+        out = prune_chunks(out, key_lo=key_range[0], key_hi=key_range[1])
+    for col, (lo, hi) in (ranges or {}).items():
+        out = prune_chunks_on(out, col, lo=lo, hi=hi,
+                              cast=(range_casts or {}).get(col, "long"))
+    for col, value in (equals or {}).items():
+        out = prune_chunks_eq(out, col, value)
+    if columns is not None:
+        need = list(dict.fromkeys(
+            list(columns) + list(ranges or {}) + list(equals or {})))
+        out = project_chunks(out, need)
+    rows = decode_chunks(out)
+    for col, (lo, hi) in (ranges or {}).items():
+        if lo is not None:
+            rows = rows.filter(F.col(col) >= lo)
+        if hi is not None:
+            rows = rows.filter(F.col(col) <= hi)
+    for col, value in (equals or {}).items():
+        rows = rows.filter(F.col(col) == value)
+    return rows.select(*columns) if columns is not None else rows

