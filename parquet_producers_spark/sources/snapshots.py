@@ -436,6 +436,8 @@ def encode_table_incremental(
     stage: str,
     sort_cols: list[str],
     store: FileStore | None = None,
+    maintain: bool = False,
+    min_runt_fraction: float = 0.25,
     **encode_kw,
 ) -> dict:
     """One INCREMENTAL encode wave over the snapshot table — the full
@@ -486,9 +488,24 @@ def encode_table_incremental(
     encode_run(spark, delta, enc_root, stage, version=version,
                sort_cols=sort_cols,
                input_fingerprint=f"{table_dir}@s{latest}", **encode_kw)
-    waves.append({"version": version, "snapshot": latest})
+    wave = {"version": version, "snapshot": latest}
+    if maintain:
+        # in-cadence maintenance: run the runt-compaction policy gate on
+        # the fresh wave (small deltas are runt-heavy by construction).
+        # If it rewrites, the wave entry points at the compacted version
+        # so readers — and the NEXT wave's version counter — follow it.
+        from ..compaction import compact_if_needed
+
+        new_v = compact_if_needed(
+            spark, enc_root, stage, version,
+            min_runt_fraction=min_runt_fraction,
+            chunk_rows=encode_kw.get("chunk_rows"))
+        if new_v != version:
+            wave = {"version": new_v, "snapshot": latest,
+                    "compacted_from": version}
+    waves.append(wave)
     store.write_json_atomic(_snapshot_map_path(enc_root, stage), smap)
-    return {"version": version, "snapshot": latest, "rows": int(n_rows)}
+    return {**wave, "rows": int(n_rows)}
 
 
 def read_encoded_table(

@@ -439,3 +439,48 @@ def test_consolidate_encoded_waves(spark, tmp_path):
     again = consolidate_encoded_table(spark, enc, "code",
                                       sort_cols=["repo", "path"])
     assert again["consolidated"] == 0 and again["version"] == 3
+
+
+def test_incremental_wave_with_maintenance(spark, tmp_path):
+    """maintain=True runs the runt-compaction policy gate inside the
+    wave cadence: a runty delta wave is rewritten to version+1, the
+    snapshot map points at the compacted version, and the next wave's
+    version counter follows it. Decode parity holds throughout."""
+    import hashlib
+
+    from parquet_producers_spark.datagen import source_code_df
+    from parquet_producers_spark.encoder import decode_chunks
+    from parquet_producers_spark.sources.snapshots import (
+        encode_table_incremental,
+        read_encoded_table,
+    )
+
+    t = str(tmp_path / "tbl")
+    enc = str(tmp_path / "enc")
+    full = source_code_df(spark, 300, seed=61, partitions=2).cache()
+    first = full.filter("pmod(hash(path), 10) < 7")
+
+    # small chunk_rows + several partitions per slice → runt-heavy wave
+    commit_snapshot(spark, first.coalesce(2), t)
+    w1 = encode_table_incremental(
+        spark, t, enc, "code", sort_cols=["repo", "path"], n_slices=2,
+        chunk_rows=32, partitions_per_slice=4, maintain=True,
+        min_runt_fraction=0.05)
+    assert w1.get("compacted_from") == 1 and w1["version"] == 2
+
+    commit_snapshot(spark, full.subtract(first).coalesce(2), t,
+                    mode="append")
+    w2 = encode_table_incremental(
+        spark, t, enc, "code", sort_cols=["repo", "path"], n_slices=2,
+        chunk_rows=32, partitions_per_slice=4, maintain=True,
+        min_runt_fraction=0.05)
+    assert w2["version"] > w1["version"]
+
+    def digest(df):
+        h = hashlib.sha256()
+        for r in df.orderBy("repo", "path").collect():
+            h.update((r.repo + r.path + r.commit + r.content).encode())
+        return h.hexdigest()
+
+    decoded = decode_chunks(read_encoded_table(spark, enc, "code"))
+    assert digest(decoded) == digest(read_snapshot(spark, t))
