@@ -85,10 +85,13 @@ def _col_zone(arr: pa.Array) -> tuple[str | None, str | None]:
 
 # per-chunk bloom filters (equality pruning on UNclustered columns —
 # zone maps only help columns correlated with the chunk order):
-# ~10 bits per distinct value, k=4 → ~1.2% false-positive rate; built
-# only when the chunk's cardinality is bounded (the blob lives inside
-# the JSON params of the manifest row, so it must stay small) and the
-# type has a canonical equality representation (string/int).
+# sized at ≥10 bits per distinct value rounded UP to a power of two
+# (so the effective rate is 10–20 bits/key), k=4 → false-positive rate
+# ≤ (1 - e^(-k·n/m))^k ≈ 1.2% at the 10-bit floor, better after the
+# round-up; built only when the chunk's cardinality is bounded (the
+# blob lives inside the JSON params of the manifest row, so it must
+# stay small) and the type has a canonical equality representation
+# (string/int).
 _BLOOM_K = 4
 _BLOOM_MAX_DISTINCT = 4096
 _BLOOM_BITS_PER_KEY = 10
@@ -131,6 +134,8 @@ def _bloom_build(arr: pa.Array,
     n = len(uniq)
     if n == 0 or n > _BLOOM_MAX_DISTINCT:
         return None
+    # next power of two ≥ n·bits-per-key (pow2 keeps the modulo cheap
+    # and only ever ADDS bits, so the fpr bound above is a ceiling)
     m = max(64, 1 << (n * _BLOOM_BITS_PER_KEY - 1).bit_length())
     bits = bytearray(m // 8)
     for v in uniq.to_pylist():
@@ -629,11 +634,16 @@ def prune_chunks_eq(chunks: DataFrame, column: str, value) -> DataFrame:
     the actual predicate after decode.
 
     Shape: an Arrow-batched probe over the target column's MANIFEST
-    rows only (one row per chunk — never data rows), then the same
-    chunk-identity semi-join as `prune_chunks_on`. ~1.2% false-positive
-    rate at the build parameters; false positives cost one extra chunk
-    decode, false negatives cannot happen (crc32 double-hashing is
-    process-stable)."""
+    rows only (one row per chunk — never data rows), then a
+    chunk-identity ANTI-join against the chunks the bloom PROVES empty.
+    The anti-join (not a semi-join on hits) is what keeps the
+    "never a correctness filter" contract in every degenerate case: if
+    ``column`` has no manifest rows at all — already projected away by
+    `project_chunks`, or simply misspelled — the proven-absent set is
+    empty and the table passes through unpruned, instead of every chunk
+    being dropped. ~1.2% false-positive rate at the build parameters;
+    false positives cost one extra chunk decode, false negatives cannot
+    happen (crc32 double-hashing is process-stable)."""
     from pyspark.sql import functions as F
 
     layout_cols = [
@@ -647,12 +657,12 @@ def prune_chunks_eq(chunks: DataFrame, column: str, value) -> DataFrame:
 
     def probe(batches):
         for b in batches:
-            keep = [bloom_may_contain(pj, value)
-                    for pj in b.column("params").to_pylist()]
-            yield b.filter(pa.array(keep, pa.bool_()))
+            absent = [not bloom_may_contain(pj, value)
+                      for pj in b.column("params").to_pylist()]
+            yield b.filter(pa.array(absent, pa.bool_()))
 
-    hits = stats.mapInArrow(probe, schema=stats.schema)
-    return chunks.join(hits.select(*ident).distinct(), ident, "left_semi")
+    misses = stats.mapInArrow(probe, schema=stats.schema)
+    return chunks.join(misses.select(*ident).distinct(), ident, "left_anti")
 
 
 def manifest_aggregate(chunks: DataFrame, column: str,

@@ -113,11 +113,33 @@ def _manifest_files(table_dir: str, manifest: dict,
     for s in shards:
         t = open_parquet_any(s).read()
         out.extend(
-            {"path": p, "rows": int(r)}
+            # rows may be null: legacy inline manifests recorded
+            # rows:null when stats were unavailable, and _write_manifest
+            # forwards that into the shards — every consumer treats
+            # None as "unknown" (encode_snapshot uses `or 0`)
+            {"path": p, "rows": int(r) if r is not None else None}
             for p, r in zip(t.column("path").to_pylist(),
                             t.column("rows").to_pylist())
         )
     return out
+
+
+def _manifest_files_frame(spark: SparkSession, manifest: dict) -> DataFrame:
+    """One manifest's file list as a ``path string, rows long``
+    DataFrame. The sharded manifest-tree form reads its parquet shards
+    with Spark directly — a distributed scan, so a million-file
+    manifest never loops shards on the driver (the list-of-dicts
+    reader :func:`_manifest_files` stays for small/driver consumers).
+    """
+    if "files" in manifest:
+        import pandas as pd
+
+        files = manifest["files"]
+        return spark.createDataFrame(
+            pd.DataFrame({"path": [f["path"] for f in files],
+                          "rows": [f.get("rows") for f in files]}),
+            schema="path string, rows long")
+    return spark.read.parquet(manifest["files_dir"]).select("path", "rows")
 
 
 def _write_manifest(
@@ -291,19 +313,52 @@ def snapshot_diff(
     wave (`Pipeline.update` root updates): each wave consumes
     ``snapshot_diff(last_seen, latest)`` instead of rescanning the
     table. File identity (immutable paths), never row comparison — the
-    diff plans from two manifests and reads only the new files."""
+    diff plans from two manifests and reads only the new files.
+
+    Both-inline manifests diff as driver sets (cheapest); once either
+    side is a sharded manifest tree the diff runs as a distributed
+    anti-join of the shard frames (:func:`snapshot_diff_paths`) and
+    only the — delta-sized — result is collected for the scan."""
     store = store or LocalStore()
-    old = {f["path"] for f in snapshot_files(table_dir, from_id, store)}
-    to_manifest = store.read_json(_manifest_path(
-        table_dir,
-        to_id if to_id is not None
-        else list_snapshots(table_dir, store)[-1]))
-    new = [f["path"]
-           for f in _manifest_files(table_dir, to_manifest, store)
-           if f["path"] not in old]
+    to_sid = (to_id if to_id is not None
+              else list_snapshots(table_dir, store)[-1])
+    to_manifest = store.read_json(_manifest_path(table_dir, to_sid))
+    from_manifest = store.read_json(_manifest_path(table_dir, from_id))
+    if "files" in to_manifest and "files" in from_manifest:
+        old = {f["path"] for f in from_manifest["files"]}
+        new = [f["path"] for f in to_manifest["files"]
+               if f["path"] not in old]
+    else:
+        new = sorted(
+            r["path"]
+            for r in snapshot_diff_paths(
+                spark, table_dir, from_id, to_sid, store).collect()
+        )
     if not new:
         return spark.createDataFrame([], schema=to_manifest["schema_ddl"])
     return spark.read.parquet(*new)
+
+
+def snapshot_diff_paths(
+    spark: SparkSession,
+    table_dir: str,
+    from_id: int,
+    to_id: int | None = None,
+    store: FileStore | None = None,
+) -> DataFrame:
+    """The planning half of :func:`snapshot_diff` as a DataFrame: paths
+    present in ``to_id`` but not in ``from_id``, computed as a
+    distributed anti-join over the two manifest frames — for
+    manifest-tree tables the shards are parquet and never touch the
+    driver, so the diff plan holds at millions of files per snapshot."""
+    store = store or LocalStore()
+    to_manifest = store.read_json(_manifest_path(
+        table_dir,
+        to_id if to_id is not None else list_snapshots(table_dir, store)[-1]))
+    from_manifest = store.read_json(_manifest_path(table_dir, from_id))
+    return _manifest_files_frame(spark, to_manifest).select("path").join(
+        _manifest_files_frame(spark, from_manifest).select("path"),
+        "path", "left_anti")
 
 
 def snapshot_files(table_dir: str, snapshot_id: int | None = None,
@@ -378,10 +433,23 @@ def expire_snapshots(
     return expired
 
 
+def _table_suffix(path: str) -> str:
+    """Identity of a data file RELATIVE to its table —
+    ``data/s=NNNNNN/<name>``, the last three path components. Vacuum
+    compares manifest paths against listed paths under this suffix, so
+    a ``table_dir`` handed in under a different normalization than the
+    one ``commit_snapshot`` used (relative vs absolute, trailing slash,
+    symlinked prefix, ``file:`` URI) can never make every live file
+    look orphaned."""
+    return "/".join(path.rstrip("/").split("/")[-3:])
+
+
 def vacuum(
     table_dir: str,
     store: FileStore | None = None,
     dry_run: bool = False,
+    force: bool = False,
+    spark: SparkSession | None = None,
 ) -> list[str]:
     """Iceberg ``remove_orphan_files``: delete data files under the
     table's own ``data/`` tree that no LIVE snapshot references —
@@ -391,36 +459,93 @@ def vacuum(
     touched (they are not under ``data/``). Returns the orphan paths
     (deleted unless ``dry_run``).
 
-    Scale shape: referenced-set ∖ listed-set is a driver-side set
-    difference here (fine to millions); at the manifest-tree extreme
-    the same contract runs as a Spark anti-join of the shard frames
-    against the listing — the sharded manifests are already parquet,
-    so both sides load as DataFrames unchanged."""
+    Live-vs-listed comparison runs on the table-relative suffix
+    ``data/s=NNNNNN/<name>`` (:func:`_table_suffix`) — never on raw
+    string equality — so path-normalization drift between the commit's
+    ``table_dir`` and this call's cannot orphan the world. Defense in
+    depth: if every listed file STILL looks orphaned while live
+    snapshots reference files, the call refuses (raises) unless
+    ``force=True`` — a GC must never be one bad argument away from
+    deleting a whole table.
+
+    Scale shape: with ``spark`` passed, the listing anti-joins the
+    UNION of manifest frames (sharded manifests are parquet — a
+    distributed scan; only the orphan result is collected), so the
+    live set never materializes on the driver. Without ``spark`` the
+    comparison is a driver-side set difference (fine to millions)."""
     store = store or LocalStore()
-    live: set[str] = set()
-    for sid in list_snapshots(table_dir, store):
-        manifest = store.read_json(_manifest_path(table_dir, sid))
-        live.update(f["path"] for f in _manifest_files(
-            table_dir, manifest, store))
+    sids = list_snapshots(table_dir, store)
     data_root = posixpath.join(table_dir, "data")
-    orphans: list[str] = []
+    listed: dict[str, list[str]] = {}
     for sdir in store.listdir(data_root):
         d = posixpath.join(data_root, sdir)
-        kept_any = False
-        dir_orphans: list[str] = []
-        for e in store.listdir(d):
-            p = posixpath.join(d, e)
-            if e.endswith(".parquet") and not e.startswith(("_", ".")):
-                if p in live:
-                    kept_any = True
-                else:
-                    dir_orphans.append(p)
-            # _SUCCESS etc. ride along with their directory
+        listed[d] = [
+            posixpath.join(d, e) for e in store.listdir(d)
+            if e.endswith(".parquet") and not e.startswith(("_", "."))
+        ]
+    n_listed = sum(len(ps) for ps in listed.values())
+
+    any_live = False
+    if spark is not None:
+        from pyspark.sql import functions as F
+
+        live_fr = None
+        for sid in sids:
+            manifest = store.read_json(_manifest_path(table_dir, sid))
+            fr = _manifest_files_frame(spark, manifest).select("path")
+            live_fr = fr if live_fr is None else live_fr.unionByName(fr)
+
+        def _sfx(col):
+            return F.concat_ws("/", F.slice(F.split(col, "/"), -3, 3))
+
+        if live_fr is None:
+            orphan_sfx = {_table_suffix(p)
+                          for ps in listed.values() for p in ps}
+        else:
+            any_live = live_fr.head(1) != []
+            listed_fr = spark.createDataFrame(
+                [(p,) for ps in listed.values() for p in ps],
+                "path string")
+            orphan_sfx = {
+                r["sfx"]
+                for r in listed_fr
+                .select(_sfx(F.col("path")).alias("sfx"))
+                .join(live_fr.select(_sfx(F.col("path")).alias("sfx"))
+                      .distinct(), "sfx", "left_anti")
+                .collect()
+            }
+    else:
+        live: set[str] = set()
+        for sid in sids:
+            manifest = store.read_json(_manifest_path(table_dir, sid))
+            live.update(_table_suffix(f["path"])
+                        for f in _manifest_files(table_dir, manifest, store))
+        any_live = bool(live)
+        orphan_sfx = {
+            _table_suffix(p)
+            for ps in listed.values() for p in ps
+            if _table_suffix(p) not in live
+        }
+
+    if (any_live and n_listed and len(orphan_sfx) == n_listed
+            and not dry_run and not force):
+        raise RuntimeError(
+            f"vacuum({table_dir}): ALL {n_listed} listed data files "
+            "appear orphaned while live snapshots reference files — "
+            "this is the signature of a mis-specified table_dir, not "
+            "of garbage. Inspect with dry_run=True; pass force=True "
+            "only if the full wipe is intended.")
+
+    orphans: list[str] = []
+    for d, ps in listed.items():
+        dir_orphans = [p for p in ps if _table_suffix(p) in orphan_sfx]
+        kept_any = len(dir_orphans) < len(ps)
         orphans.extend(dir_orphans)
         if not dry_run:
             for p in dir_orphans:
                 store.delete(p)
             if not kept_any:
+                # _SUCCESS etc. ride along with their directory
                 store.delete(d, recursive=True)
     return orphans
 
@@ -467,23 +592,31 @@ def encode_table_incremental(
     smap = (store.read_json(map_path) if store.exists(map_path)
             else {"waves": []})
     waves = smap["waves"]
-    last_snap = waves[-1]["snapshot"] if waves else None
+    # covered marker: which table snapshot the store is up to date with.
+    # Normally waves[-1]["snapshot"]; a zero-row FIRST wave has no wave
+    # entry yet, so it records top-level "covered" instead — the map is
+    # still written, keeping the reader contract (read_encoded_table
+    # returns a typed empty frame) alive from wave 0.
+    last_snap = waves[-1]["snapshot"] if waves else smap.get("covered")
     if last_snap == latest:
-        return {**waves[-1], "rows": 0}
+        return {**waves[-1], "rows": 0} if waves else {
+            "version": 0, "snapshot": latest, "rows": 0}
     delta = (snapshot_diff(spark, table_dir, last_snap, latest)
              if last_snap is not None
              else read_snapshot(spark, table_dir, latest))
     delta = delta.localCheckpoint(eager=False)
     n_rows = delta.count()
     if n_rows == 0:
-        # a newer snapshot with no new rows (empty append / replace with
-        # identical files): advance the covered-snapshot marker so later
-        # diffs use the new baseline, but encode nothing
+        # a newer snapshot with no new rows (empty table, empty append,
+        # replace with identical files): advance the covered-snapshot
+        # marker so later diffs use the new baseline, but encode nothing
         if waves:
             waves[-1]["snapshot"] = latest
-            store.write_json_atomic(map_path, smap)
-            return {**waves[-1], "rows": 0}
-        return {"version": 0, "snapshot": latest, "rows": 0}
+        else:
+            smap["covered"] = latest
+        store.write_json_atomic(map_path, smap)
+        return ({**waves[-1], "rows": 0} if waves
+                else {"version": 0, "snapshot": latest, "rows": 0})
     version = (waves[-1]["version"] + 1) if waves else 1
     encode_run(spark, delta, enc_root, stage, version=version,
                sort_cols=sort_cols,
@@ -519,13 +652,24 @@ def read_encoded_table(
     groups chunks per (wave, slice, partition, seq) — part_ids from
     different waves can never collide into one decode group. Decode of
     this union equals the latest table snapshot for append-only
-    tables."""
+    tables. A missing snapshot map or an empty wave list (a store whose
+    only waves so far were zero-row — the map is written from wave 0)
+    reads as a TYPED empty chunk frame, so downstream projection /
+    pruning / union code works unchanged from before the first byte."""
     from pyspark.sql import functions as F
 
+    from ..encoder import CHUNK_ARROW_SCHEMA, _spark_type
     from ..storage import read_chunks
 
     store = store or LocalStore()
-    smap = store.read_json(_snapshot_map_path(enc_root, stage))
+    map_path = _snapshot_map_path(enc_root, stage)
+    smap = (store.read_json(map_path) if store.exists(map_path)
+            else {"waves": []})
+    if not smap["waves"]:
+        ddl = ", ".join(
+            f"`{f.name}` {_spark_type(f.type)}" for f in CHUNK_ARROW_SCHEMA
+        ) + ", `slice_id` int, `enc_version` int"
+        return spark.createDataFrame([], schema=ddl)
     frames = [
         read_chunks(spark, enc_root, stage, w["version"])
         .withColumn("enc_version", F.lit(int(w["version"])))
@@ -572,9 +716,53 @@ def consolidate_encoded_table(
     version = waves[-1]["version"] + 1
     encode_run(spark, rows, enc_root, stage, version=version,
                sort_cols=sort_cols,
-               input_fingerprint=f"consolidate<{[w['version'] for w in waves]}",
+               input_fingerprint=f"consolidate:{[w['version'] for w in waves]}",
                **encode_kw)
     smap["waves"] = [{"version": version, "snapshot": waves[-1]["snapshot"],
                       "consolidated_from": [w["version"] for w in waves]}]
     store.write_json_atomic(map_path, smap)
     return {**smap["waves"][0], "consolidated": 1}
+
+
+def expire_encoded_versions(
+    enc_root: str,
+    stage: str,
+    store: FileStore | None = None,
+    dry_run: bool = False,
+) -> list[int]:
+    """Chunk-store version GC — the physical-reclaim half of encoded-
+    table maintenance, mirroring :func:`expire_snapshots` +
+    :func:`vacuum` for ``enc_root``. :func:`consolidate_encoded_table`
+    and in-cadence ``compact_if_needed`` strand superseded ``v=N``
+    directories on disk (readers flip at the snapshot-map commit; old
+    versions stay for in-flight readers); this deletes every version
+    dir that is
+
+    * NOT referenced by ``_snapshot_map.json`` (including
+      ``compacted_from`` / ``consolidated_from`` sources — those are
+      exactly the stranded versions this GC exists to reclaim), and
+    * OLDER than the newest referenced version. Anything newer is an
+      in-flight wave that has encoded slices but not yet committed its
+      map entry — a GC must never race a writer, so the newest
+      referenced version is the deletion fence.
+
+    Metadata-light: one map read + one version listing; deletion is
+    per-directory. Returns the deleted (``dry_run``: would-delete)
+    version ids."""
+    from ..storage import list_versions, stage_dir
+
+    store = store or LocalStore()
+    map_path = _snapshot_map_path(enc_root, stage)
+    if not store.exists(map_path):
+        return []
+    referenced = {int(w["version"])
+                  for w in store.read_json(map_path)["waves"]}
+    if not referenced:
+        return []
+    fence = max(referenced)
+    doomed = [v for v in list_versions(enc_root, stage, store)
+              if v not in referenced and v < fence]
+    if not dry_run:
+        for v in doomed:
+            store.delete(stage_dir(enc_root, stage, v), recursive=True)
+    return doomed

@@ -77,6 +77,7 @@ def stream_into_encoded_store(
     sort_cols: list[str],
     checkpoint: str,
     n_slices: int = 4,
+    store=None,
     **encode_kw,
 ):
     """Streaming ingestion INTO the encoded chunk-store format: each
@@ -89,10 +90,14 @@ def stream_into_encoded_store(
     SAME version (version = batch ordinal) where finished slices
     resume from their manifests instead of re-encoding.
 
-    Readers union versions exactly like snapshot waves
-    (`sources.snapshots.read_encoded_table` shape): tag each version
-    frame with a layout column and decode — or run compaction to fold
-    runt batch-tails into full chunks."""
+    After each encoded batch the wave is committed to the stage's
+    ``_snapshot_map.json`` (idempotent — a replayed batch's version is
+    already listed), so ``sources.snapshots.read_encoded_table`` reads
+    the streamed store exactly like a batch-incremental one, and
+    ``consolidate_encoded_table`` / ``expire_encoded_versions`` run
+    against it unchanged."""
+    from ..filestore import LocalStore
+    from ..sources.snapshots import _snapshot_map_path
     from ..storage import encode_run
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -100,11 +105,22 @@ def stream_into_encoded_store(
             return
         # version is the batch ordinal, so a replayed batch re-enters
         # ITS OWN version and resumes from the slice manifests
+        version = int(batch_id) + 1
         encode_run(
             batch_df.sparkSession, batch_df.localCheckpoint(eager=False),
-            root=enc_root, stage=stage, version=int(batch_id) + 1,
+            root=enc_root, stage=stage, version=version,
             sort_cols=sort_cols, n_slices=n_slices,
             input_fingerprint=f"stream-batch-{batch_id}", **encode_kw)
+        st = store or LocalStore()
+        map_path = _snapshot_map_path(enc_root, stage)
+        smap = (st.read_json(map_path) if st.exists(map_path)
+                else {"waves": []})
+        if all(int(w["version"]) != version for w in smap["waves"]):
+            smap["waves"] = sorted(
+                smap["waves"] + [{"version": version,
+                                  "snapshot": int(batch_id)}],
+                key=lambda w: int(w["version"]))
+            st.write_json_atomic(map_path, smap)
 
     return (
         stream_df.writeStream

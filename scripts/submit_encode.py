@@ -67,6 +67,14 @@ def main() -> None:
                     help="snapshot-table GC: expire all but the newest N "
                          "snapshots of --snapshot-table, then vacuum "
                          "orphan data files")
+    ap.add_argument("--gc-versions", action="store_true",
+                    help="chunk-store version GC: delete every "
+                         "--output/--stage version dir not referenced "
+                         "by _snapshot_map.json and older than the "
+                         "newest referenced version (the dirs that "
+                         "consolidation / in-cadence compaction strand)")
+    ap.add_argument("--dry-run", action="store_true",
+                    help="with --gc-versions: report, delete nothing")
     args = ap.parse_args()
 
     # import AFTER spark-submit has placed the --py-files zip on the
@@ -74,10 +82,22 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     if (not args.maintain and not args.consolidate
-            and args.expire_keep is None
+            and args.expire_keep is None and not args.gc_versions
             and not args.input and not args.snapshot_table):
         ap.error("--input or --snapshot-table is required unless"
-                 " --maintain/--consolidate/--expire-keep")
+                 " --maintain/--consolidate/--expire-keep/--gc-versions")
+    if args.gc_versions:
+        # sessionless, like --expire-keep: metadata + directory deletes
+        from parquet_producers_spark.sources.snapshots import (
+            expire_encoded_versions,
+        )
+
+        doomed = expire_encoded_versions(
+            args.output, args.stage, dry_run=args.dry_run)
+        print(json.dumps({"stage": args.stage, "dry_run": args.dry_run,
+                          "versions_deleted": doomed},
+                         separators=(",", ":")))
+        return
     if args.consolidate:
         from parquet_producers_spark.sources.snapshots import (
             consolidate_encoded_table,

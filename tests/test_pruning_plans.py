@@ -248,3 +248,25 @@ def test_read_where_unified(spark, sf_dir):
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, want.collect()))
     assert want.count() > 0
+
+
+def test_bloom_prune_degenerate_is_noop(spark, sf_dir):
+    """prune_chunks_eq on a column with NO manifest rows — misspelled,
+    or already projected away by project_chunks — must pass the chunk
+    table through unpruned (the anti-join contract: pruning is never a
+    correctness filter, even when misused)."""
+    from parquet_producers_spark.encoder import (
+        encode_partitions,
+        project_chunks,
+        prune_chunks_eq,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chunks = encode_partitions(docs, sort_cols=["doc_id"], partitions=2,
+                               chunk_rows=128).localCheckpoint()
+    n_all = chunks.count()
+    assert prune_chunks_eq(chunks, "no_such_column", "x").count() == n_all
+
+    projected = project_chunks(chunks, ["doc_id", "n_chars"])
+    n_proj = projected.count()
+    assert prune_chunks_eq(projected, "lang", "en").count() == n_proj

@@ -484,3 +484,199 @@ def test_incremental_wave_with_maintenance(spark, tmp_path):
 
     decoded = decode_chunks(read_encoded_table(spark, enc, "code"))
     assert digest(decoded) == digest(read_snapshot(spark, t))
+
+
+def test_zero_row_first_wave_reader_contract(spark, tmp_path):
+    """A zero-row FIRST wave still writes the snapshot map (with the
+    covered marker), so read_encoded_table returns a typed empty frame
+    instead of raising — and the next, non-empty wave encodes only the
+    delta from the covered snapshot."""
+    from parquet_producers_spark.encoder import decode_chunks
+    from parquet_producers_spark.sources.snapshots import (
+        encode_table_incremental,
+        read_encoded_table,
+    )
+
+    t = str(tmp_path / "tbl")
+    enc = str(tmp_path / "enc")
+    commit_snapshot(spark, spark.createDataFrame([], "id int, v string"), t)
+    w = encode_table_incremental(spark, t, enc, "code",
+                                 sort_cols=["id"], n_slices=2)
+    assert w["rows"] == 0 and w["version"] == 0
+    empty = read_encoded_table(spark, enc, "code")
+    assert empty.count() == 0
+    assert "part_id" in empty.columns and "data" in empty.columns
+
+    commit_snapshot(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")],
+                              "id int, v string").coalesce(1),
+        t, mode="append")
+    w2 = encode_table_incremental(spark, t, enc, "code",
+                                  sort_cols=["id"], n_slices=2)
+    assert w2["version"] == 1 and w2["rows"] == 2
+    decoded = decode_chunks(read_encoded_table(spark, enc, "code"),
+                            ordered=False)
+    assert sorted((r.id, r.v) for r in decoded.collect()) == [
+        (1, "a"), (2, "b")]
+
+
+def test_encoded_version_gc(spark, tmp_path):
+    """expire_encoded_versions reclaims the version dirs consolidation
+    strands, never touches referenced versions or anything newer than
+    the fence (an in-flight wave), and readers are unaffected."""
+    import os
+
+    from parquet_producers_spark.datagen import source_code_df
+    from parquet_producers_spark.encoder import decode_chunks
+    from parquet_producers_spark.sources.snapshots import (
+        consolidate_encoded_table,
+        encode_table_incremental,
+        expire_encoded_versions,
+        read_encoded_table,
+    )
+    from parquet_producers_spark.storage import list_versions, stage_dir
+
+    t = str(tmp_path / "tbl")
+    enc = str(tmp_path / "enc")
+    full = source_code_df(spark, 300, seed=11, partitions=2).cache()
+    first = full.filter("pmod(hash(path), 10) < 6")
+    commit_snapshot(spark, first.coalesce(2), t)
+    encode_table_incremental(spark, t, enc, "code",
+                             sort_cols=["repo", "path"], n_slices=2)
+    commit_snapshot(spark, full.subtract(first).coalesce(2), t,
+                    mode="append")
+    encode_table_incremental(spark, t, enc, "code",
+                             sort_cols=["repo", "path"], n_slices=2)
+    consolidate_encoded_table(spark, enc, "code",
+                              sort_cols=["repo", "path"], n_slices=2)
+    assert list_versions(enc, "code") == [1, 2, 3]
+
+    # an in-flight version NEWER than the newest referenced one (its
+    # writer hasn't committed a map entry yet) must survive the GC
+    os.makedirs(os.path.join(stage_dir(enc, "code", 4), "_manifest"))
+
+    assert expire_encoded_versions(enc, "code", dry_run=True) == [1, 2]
+    assert list_versions(enc, "code") == [1, 2, 3, 4]  # dry run: untouched
+    assert expire_encoded_versions(enc, "code") == [1, 2]
+    assert list_versions(enc, "code") == [3, 4]
+    # readers see exactly the table through the consolidated version
+    n = full.count()
+    decoded = decode_chunks(read_encoded_table(spark, enc, "code"))
+    assert decoded.count() == n
+    # idempotent: nothing left to reclaim
+    assert expire_encoded_versions(enc, "code") == []
+
+
+def test_vacuum_normalization_and_refusal(spark, tmp_path):
+    """vacuum compares table-relative suffixes — a differently
+    normalized table_dir (trailing slash, ./ component) cannot make
+    live files look orphaned — and refuses to delete when EVERY listed
+    file appears orphaned while live snapshots reference files."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from parquet_producers_spark.sources.snapshots import vacuum
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(
+        spark,
+        spark.createDataFrame([(1, "a")], "id int, v string").coalesce(1),
+        t)
+    assert vacuum(t, dry_run=True) == []
+    assert vacuum(t + "/", dry_run=True) == []
+    assert vacuum(str(tmp_path) + "/./tbl", dry_run=True) == []
+
+    # corrupt the manifest so it references names that don't exist on
+    # disk: all listed files now look orphaned → the GC must refuse
+    mpath = os.path.join(t, "_snapshots", "s=000001.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    m["files"] = [{"path": fi["path"] + ".moved", "rows": fi["rows"]}
+                  for fi in m["files"]]
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    with _pytest.raises(RuntimeError):
+        vacuum(t)
+    assert len(vacuum(t, dry_run=True)) == 1  # dry run still reports
+    assert len(vacuum(t, force=True)) == 1    # explicit override wipes
+
+
+def test_vacuum_distributed_antijoin_matches(spark, tmp_path):
+    """vacuum(spark=...) — the anti-join path that never materializes
+    the live set on the driver — finds exactly the same orphans as the
+    driver-side set difference."""
+    from parquet_producers_spark.sources.snapshots import (
+        expire_snapshots,
+        vacuum,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(spark, spark.createDataFrame(
+        [(1, "a")], "id int, v string").coalesce(1), t)
+    commit_snapshot(spark, spark.createDataFrame(
+        [(2, "b")], "id int, v string").coalesce(1), t, mode="append")
+    commit_snapshot(spark, spark.createDataFrame(
+        [(9, "z")], "id int, v string").coalesce(1), t, mode="replace")
+    assert vacuum(t, dry_run=True, spark=spark) == []
+    expire_snapshots(t, keep_last=1)
+    dr_local = sorted(vacuum(t, dry_run=True))
+    dr_spark = sorted(vacuum(t, dry_run=True, spark=spark))
+    assert dr_local == dr_spark and len(dr_local) == 2
+    assert sorted(vacuum(t, spark=spark)) == dr_local
+
+
+def test_manifest_tree_distributed_diff_100k(spark, tmp_path):
+    """snapshot_diff_paths plans a 100k→150k manifest-tree diff as a
+    distributed anti-join over the parquet shard frames — no
+    driver-side shard loop — and stays time-bounded."""
+    import time
+
+    from parquet_producers_spark.filestore import LocalStore
+    from parquet_producers_spark.sources.snapshots import (
+        _write_manifest,
+        snapshot_diff_paths,
+    )
+
+    t = str(tmp_path / "tbl")
+    store = LocalStore()
+    files1 = [{"path": f"{t}/data/s=000001/part-{i:06d}.parquet",
+               "rows": 10} for i in range(100_000)]
+    _write_manifest(spark, t, 1, None, "append", "id int", files1, store,
+                    shard_threshold=10_000)
+    files2 = files1 + [{"path": f"{t}/data/s=000002/part-{i:06d}.parquet",
+                        "rows": 10} for i in range(50_000)]
+    _write_manifest(spark, t, 2, 1, "append", "id int", files2, store,
+                    shard_threshold=10_000)
+    t0 = time.monotonic()
+    diff = snapshot_diff_paths(spark, t, 1, 2)
+    n = diff.count()
+    elapsed = time.monotonic() - t0
+    assert n == 50_000
+    assert elapsed < 60
+    # both manifest sides enter the plan as parquet scans (shard
+    # frames), not as a driver-collected literal list
+    plan = diff._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") >= 2
+
+
+def test_sharded_manifest_tolerates_null_rows(spark, tmp_path):
+    """Legacy manifests carry rows:null; the sharded read-back path
+    must surface None (not raise), and stat consumers treat it as
+    unknown."""
+    from parquet_producers_spark.filestore import LocalStore
+    from parquet_producers_spark.sources.snapshots import _write_manifest
+
+    t = str(tmp_path / "tbl")
+    store = LocalStore()
+    files = [{"path": f"{t}/data/s=000001/p{i:03d}.parquet",
+              "rows": None if i % 2 else i} for i in range(40)]
+    _write_manifest(spark, t, 1, None, "append", "id int", files, store,
+                    shard_threshold=10)  # force the sharded form
+    got = snapshot_files(t, 1)
+    assert len(got) == 40
+    by_path = {f["path"]: f["rows"] for f in got}
+    assert by_path[f"{t}/data/s=000001/p001.parquet"] is None
+    assert by_path[f"{t}/data/s=000001/p002.parquet"] == 2

@@ -321,3 +321,16 @@ def test_stream_into_encoded_store(spark, tmp_path):
                             ordered=False)
     assert decoded.count() == 70
     assert decoded.agg(F.sum("doc_id")).first()[0] == sum(range(70))
+
+    # each batch committed its wave to the snapshot map, so the
+    # standard reader (and downstream consolidation/GC) sees the
+    # streamed store exactly like a batch-incremental one
+    from parquet_producers_spark.sources.snapshots import (
+        expire_encoded_versions,
+        read_encoded_table,
+    )
+
+    via_map = decode_chunks(read_encoded_table(spark, enc, "docs"),
+                            ordered=False)
+    assert via_map.count() == 70
+    assert expire_encoded_versions(enc, "docs") == []  # all referenced
