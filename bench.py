@@ -354,17 +354,26 @@ def rg_split_probe(src_path: str, work: str, cores: int = None,
     pq.write_table(tbl, giant, row_group_size=4096, compression="snappy")
     n_rgs = pq.ParquetFile(giant).metadata.num_row_groups
     corpus = keep + [giant]
+    # task budget sized to the machine: the point is spreading the
+    # giant file across the executors, so a unit is ~1/cores of it
+    # (the production default, 8×CHUNK_ROWS rows, assumes cluster-scale
+    # files — this bench giant is deliberately small enough to finish)
+    budget = max(4096, int(tbl.num_rows) // cores)
+    chunk = min(4096, budget)
     spark = get_spark(f"bench-rgsplit-{cores}", cores=cores,
                       shuffle_partitions=cores)
     try:
-        encode_files(spark, corpus[:cores], key_col="repo").count()  # warm
+        encode_files(spark, corpus[:cores], key_col="repo",
+                     chunk_rows=chunk).count()  # warm
 
         def run(split: bool) -> float:
             runs = []
             for _ in range(reps):
                 t0 = time.monotonic()
                 encode_files(spark, corpus, key_col="repo",
-                             split_row_groups=split).count()
+                             split_row_groups=split,
+                             max_rows_per_task=budget,
+                             chunk_rows=chunk).count()
                 runs.append(time.monotonic() - t0)
             return min(runs)
 
