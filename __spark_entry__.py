@@ -742,6 +742,42 @@ def q_snapshot_incremental(spark, sf):
     )
 
 
+def q_snapshot_row_deletes(spark, sf):
+    """Row-level deletes on the Iceberg-shaped table (Iceberg v2
+    equality-delete shape, sources/snapshots.py::commit_deletes):
+    commit documents, commit an equality-delete file (doc_id % 7 == 0 —
+    metadata + a small key file, no data rewrite), then APPEND a
+    re-insert subset (doc_id % 21 == 0): the delete's sequence number
+    must not suppress rows added after it. Read merge-on-read,
+    aggregate per lang; then rewrite_deletes materializes the view as a
+    replace commit and the re-read must agree (``rewrite_consistent``
+    pins it). Oracle: the same survivor set over the raw table."""
+    from parquet_producers_spark.sources.snapshots import (
+        commit_deletes,
+        commit_snapshot,
+        read_snapshot,
+        rewrite_deletes,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    t = os.path.join(_scratch(spark, "rowdel"), "tbl")
+    commit_snapshot(spark, d.coalesce(2), t)
+    commit_deletes(spark, t, d.filter(F.col("doc_id") % 7 == 0), ["doc_id"])
+    commit_snapshot(spark, d.filter(F.col("doc_id") % 21 == 0).coalesce(1),
+                    t, mode="append")
+    cur = read_snapshot(spark, t).localCheckpoint(eager=False)
+    agg = (
+        cur.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").cast("bigint").alias("total_chars"))
+    )
+    n_mor = cur.count()
+    rewrite_deletes(spark, t)
+    n_rw = read_snapshot(spark, t).count()
+    return agg.withColumn("rewrite_consistent",
+                          F.lit(1 if n_rw == n_mor else 0))
+
+
 def q_dedup_exact(spark, sf):
     d = _t(spark, sf, "documents")
     return d.agg(
@@ -1295,6 +1331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                            the plain commit → diff scan)
     #   codec_bloom_prune + codec_manifest_agg ⊂ codec_bloom_manifest
     #                            (one composite frame on one chunk table)
+    #   except_buyers          ⊂ repeat_buyers_intersect (same set-op
+    #                            family; slot went to snapshot_row_deletes)
     return {
         "producer_incremental_content": q_producer_incremental_content,
         "producer_incremental_cdc": q_producer_incremental_cdc,
@@ -1313,7 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         "repeat_buyers_intersect": q_repeat_buyers_intersect,
         "semi_join_customers": q_semi_join_customers,
-        "except_buyers": q_except_buyers,
+        "snapshot_row_deletes": q_snapshot_row_deletes,
         "props_json_extract": q_props_json_extract,
         "monthly_revenue": q_monthly_revenue,
         "user_running_value": q_user_running_value,
@@ -1355,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_manifest_agg": q_codec_manifest_agg,
         "snapshot_incremental": q_snapshot_incremental,
         "cube_sales": q_cube_sales,
+        "except_buyers": q_except_buyers,
         "region_customer_count": q_region_customer_count,
         "event_type_stats": q_event_type_stats,
     }
@@ -1737,6 +1776,25 @@ GROUP BY lang
 SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
 FROM documents WHERE n_chars BETWEEN 100 AND 199
+GROUP BY lang
+"""
+
+    # row-level deletes: survivors = rows whose key escaped the delete
+    # (doc_id % 7 != 0) plus the re-inserted append (doc_id % 21 == 0 —
+    # sequence scoping makes post-delete appends visible again);
+    # rewrite_consistent pins that the materializing replace commit
+    # reads identically to the merge-on-read view
+    sql["snapshot_row_deletes"] = """
+WITH cur AS (
+  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 21 = 0
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       1 AS rewrite_consistent
+FROM cur
 GROUP BY lang
 """
 

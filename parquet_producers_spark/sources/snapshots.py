@@ -112,14 +112,20 @@ def _manifest_files(table_dir: str, manifest: dict,
     out: list[dict] = []
     for s in shards:
         t = open_parquet_any(s).read()
+        # rows may be null: legacy inline manifests recorded rows:null
+        # when stats were unavailable, and _write_manifest forwards that
+        # into the shards — every consumer treats None as "unknown"
+        # (encode_snapshot uses `or 0`). `added` (the snapshot the file
+        # entered the table — delete-sequence scoping) is absent in
+        # pre-round-5 shards.
+        added = (t.column("added").to_pylist()
+                 if "added" in t.column_names else [None] * t.num_rows)
         out.extend(
-            # rows may be null: legacy inline manifests recorded
-            # rows:null when stats were unavailable, and _write_manifest
-            # forwards that into the shards — every consumer treats
-            # None as "unknown" (encode_snapshot uses `or 0`)
-            {"path": p, "rows": int(r) if r is not None else None}
-            for p, r in zip(t.column("path").to_pylist(),
-                            t.column("rows").to_pylist())
+            {"path": p,
+             "rows": int(r) if r is not None else None,
+             "added": int(a) if a is not None else None}
+            for p, r, a in zip(t.column("path").to_pylist(),
+                               t.column("rows").to_pylist(), added)
         )
     return out
 
@@ -152,6 +158,7 @@ def _write_manifest(
     files: list[dict],
     store: FileStore,
     shard_threshold: int,
+    deletes: list[dict] | None = None,
 ) -> None:
     head = {
         "snapshot": new_id,
@@ -161,6 +168,12 @@ def _write_manifest(
         "schema_ddl": schema_ddl,
         "n_files": len(files),
     }
+    if deletes:
+        # equality-delete files (see commit_deletes). One table has few
+        # delete files relative to data files (they're compacted away by
+        # rewrite_deletes), so the list lives in the JSON head even when
+        # the data-file list shards.
+        head["deletes"] = deletes
     if len(files) <= shard_threshold:
         head["files"] = files
     else:
@@ -178,8 +191,9 @@ def _write_manifest(
                 pd.DataFrame({
                     "path": [f["path"] for f in files],
                     "rows": [f.get("rows") for f in files],
+                    "added": [f.get("added") for f in files],
                 }),
-                schema="path string, rows long",
+                schema="path string, rows long, added long",
             )
             .repartition(n_shards)
             .write.mode("overwrite").parquet(fdir)
@@ -256,14 +270,22 @@ def commit_files(
 def _commit_paths(spark, table_dir, paths, mode, schema_ddl, store,
                   shard_threshold, snaps, new_id) -> int:
     prev_files: list[dict] = []
+    prev_deletes: list[dict] = []
     if snaps and mode == "append":
         prev = store.read_json(_manifest_path(table_dir, snaps[-1]))
         prev_files = _manifest_files(table_dir, prev, store)
+        # append commits carry live equality-delete files forward;
+        # replace is a clean slate (the new file set IS the table)
+        prev_deletes = prev.get("deletes", [])
     stats = _footer_stats(spark, paths)
-    new_files = [{"path": p, "rows": stats[p]} for p in paths]
+    # `added` = the snapshot this file entered the table: the sequence
+    # that scopes which delete files apply to its rows (commit_deletes)
+    new_files = [{"path": p, "rows": stats[p], "added": new_id}
+                 for p in paths]
     _write_manifest(
         spark, table_dir, new_id, snaps[-1] if snaps else None, mode,
-        schema_ddl, prev_files + new_files, store, shard_threshold)
+        schema_ddl, prev_files + new_files, store, shard_threshold,
+        deletes=prev_deletes)
     return new_id
 
 
@@ -281,7 +303,14 @@ def read_snapshot(
     schema evolution, scoped to additive changes): appended commits may
     carry files with NEW columns; the scan unions the file schemas and
     fills pre-evolution files with nulls — the standard parquet
-    ``mergeSchema`` semantics, driven from the manifest's file list."""
+    ``mergeSchema`` semantics, driven from the manifest's file list.
+
+    Row-level deletes (:func:`commit_deletes`) read MERGE-ON-READ: data
+    files group by which delete files apply to them (a delete's ``seq``
+    covers only files ``added`` before it — Iceberg v2's sequence-number
+    rule, so keys re-inserted AFTER a delete stay visible), each group
+    anti-joins its delete keys, groups union. Zero overhead when the
+    snapshot has no deletes."""
     store = store or LocalStore()
     snaps = list_snapshots(table_dir, store)
     if not snaps:
@@ -290,13 +319,94 @@ def read_snapshot(
     if sid not in snaps:
         raise ValueError(f"snapshot {sid} not in {snaps}")
     manifest = store.read_json(_manifest_path(table_dir, sid))
-    paths = [f["path"] for f in _manifest_files(table_dir, manifest, store)]
-    if not paths:
+    files = _manifest_files(table_dir, manifest, store)
+    if not files:
         return spark.createDataFrame([], schema=manifest["schema_ddl"])
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*paths)
+    deletes = manifest.get("deletes", [])
+    if not deletes:
+        return reader.parquet(*(f["path"] for f in files))
+    # merge-on-read: group data files by the subset of delete files
+    # that cover them (files with no `added` marker are legacy —
+    # treated as added first, so every delete applies)
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        added = f.get("added") or 0
+        key = tuple(i for i, d in enumerate(deletes) if d["seq"] > added)
+        groups.setdefault(key, []).append(f["path"])
+    frames = []
+    for key, paths in groups.items():
+        df = reader.parquet(*paths)
+        for i in key:
+            d = deletes[i]
+            keys_df = spark.read.parquet(d["path"]).select(*d["key_cols"])
+            df = df.join(keys_df, on=list(d["key_cols"]), how="left_anti")
+        frames.append(df)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=merge_schema)
+    return out
+
+
+def commit_deletes(
+    spark: SparkSession,
+    table_dir: str,
+    deletes_df: DataFrame,
+    key_cols: list[str],
+    store: FileStore | None = None,
+    shard_threshold: int = SHARD_THRESHOLD,
+) -> int:
+    """Row-level DELETE as a metadata commit — the Iceberg v2
+    equality-delete shape (reference pipelines express deletion as
+    update instructions, `ParquetProduction.cs` delete discipline; the
+    lakehouse layer needs the same without rewriting data files).
+
+    Writes the distinct ``key_cols`` tuples of ``deletes_df`` as an
+    immutable parquet delete file under ``<table>/deletes/``, then
+    commits a new snapshot whose data-file list is UNCHANGED and whose
+    ``deletes`` list gains ``{path, key_cols, seq}``. Readers apply the
+    delete merge-on-read (:func:`read_snapshot`): rows of data files
+    added BEFORE ``seq`` whose keys match are suppressed; files added
+    after are untouched, so re-inserting a deleted key makes it visible
+    again. O(delete keys) write cost, zero data-file rewrites —
+    :func:`rewrite_deletes` materializes when read amplification adds
+    up. Time travel to pre-delete snapshots still sees the rows."""
+    store = store or LocalStore()
+    snaps = list_snapshots(table_dir, store)
+    if not snaps:
+        raise FileNotFoundError(f"no snapshots under {table_dir}")
+    new_id = snaps[-1] + 1
+    ddir = posixpath.join(table_dir, f"deletes/s={new_id:06d}")
+    deletes_df.select(*key_cols).distinct() \
+        .write.mode("overwrite").parquet(ddir)
+    prev = store.read_json(_manifest_path(table_dir, snaps[-1]))
+    prev_files = _manifest_files(table_dir, prev, store)
+    deletes = prev.get("deletes", []) + [
+        {"path": ddir, "key_cols": list(key_cols), "seq": new_id}]
+    _write_manifest(spark, table_dir, new_id, snaps[-1], "delete",
+                    prev["schema_ddl"], prev_files, store,
+                    shard_threshold, deletes=deletes)
+    return new_id
+
+
+def rewrite_deletes(
+    spark: SparkSession,
+    table_dir: str,
+    store: FileStore | None = None,
+    shard_threshold: int = SHARD_THRESHOLD,
+) -> int:
+    """Materialize merge-on-read deletes into clean data files — the
+    Iceberg ``rewrite`` maintenance action that caps read
+    amplification: reads the current snapshot (deletes applied) and
+    commits it as a replace, so the new snapshot carries no delete
+    files and readers stop paying the anti-joins. Old files stay on
+    disk for time travel until ``expire_snapshots`` + ``vacuum``."""
+    store = store or LocalStore()
+    return commit_snapshot(
+        spark, read_snapshot(spark, table_dir, store=store), table_dir,
+        mode="replace", store=store, shard_threshold=shard_threshold)
 
 
 def snapshot_diff(
@@ -546,6 +656,23 @@ def vacuum(
                 store.delete(p)
             if not kept_any:
                 # _SUCCESS etc. ride along with their directory
+                store.delete(d, recursive=True)
+
+    # equality-delete files (commit_deletes): one parquet DIR per delete
+    # commit under <table>/deletes — reclaim dirs no live snapshot's
+    # deletes list references (dir-granular; same suffix identity)
+    live_del = set()
+    for sid in sids:
+        manifest = store.read_json(_manifest_path(table_dir, sid))
+        live_del.update(
+            "/".join(d["path"].rstrip("/").split("/")[-2:])
+            for d in manifest.get("deletes", []))
+    del_root = posixpath.join(table_dir, "deletes")
+    for sdir in store.listdir(del_root):
+        d = posixpath.join(del_root, sdir)
+        if f"deletes/{sdir}" not in live_del:
+            orphans.append(d)
+            if not dry_run:
                 store.delete(d, recursive=True)
     return orphans
 

@@ -680,3 +680,85 @@ def test_sharded_manifest_tolerates_null_rows(spark, tmp_path):
     by_path = {f["path"]: f["rows"] for f in got}
     assert by_path[f"{t}/data/s=000001/p001.parquet"] is None
     assert by_path[f"{t}/data/s=000001/p002.parquet"] == 2
+
+
+def test_row_level_deletes_merge_on_read(spark, tmp_path):
+    """Equality-delete commits (Iceberg v2 shape): deletes are metadata
+    + a small key file, applied merge-on-read with sequence scoping —
+    files added AFTER a delete are untouched, so re-inserted keys
+    reappear; time travel still sees pre-delete rows; rewrite_deletes
+    materializes the view and clears the delete list; vacuum reclaims
+    delete files once no live snapshot references them."""
+    from parquet_producers_spark.sources.snapshots import (
+        commit_deletes,
+        expire_snapshots,
+        rewrite_deletes,
+        vacuum,
+    )
+
+    t = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1, 11)], "id int, v string")
+    s1 = commit_snapshot(spark, base.coalesce(2), t)
+
+    s2 = commit_deletes(
+        spark, t, spark.createDataFrame([(i,) for i in (2, 4, 6, 8, 10)],
+                                        "id int"), ["id"])
+    assert sorted(r.id for r in read_snapshot(spark, t).collect()) == \
+        [1, 3, 5, 7, 9]
+    # time travel: the pre-delete snapshot still has every row
+    assert read_snapshot(spark, t, s1).count() == 10
+
+    # re-insert a deleted key + a new one: the delete's seq doesn't
+    # cover files added after it
+    commit_snapshot(spark, spark.createDataFrame(
+        [(2, "back"), (12, "new")], "id int, v string").coalesce(1),
+        t, mode="append")
+    cur = {(r.id, r.v) for r in read_snapshot(spark, t).collect()}
+    assert (2, "back") in cur and (12, "new") in cur
+    assert {r for r in cur if r[0] in (4, 6, 8, 10)} == set()
+    assert len(cur) == 7
+
+    # a second delete applies to everything added so far
+    commit_deletes(spark, t, spark.createDataFrame([(1,), (12,)],
+                                                   "id int"), ["id"])
+    ids = sorted(r.id for r in read_snapshot(spark, t).collect())
+    assert ids == [2, 3, 5, 7, 9]
+
+    # rewrite: materialized replace — same rows, no delete files
+    rewrite_deletes(spark, t)
+    assert sorted(r.id for r in read_snapshot(spark, t).collect()) == ids
+    import json
+    import os
+
+    snaps = sorted(os.listdir(os.path.join(t, "_snapshots")))
+    with open(os.path.join(t, "_snapshots", snaps[-1])) as f:
+        head = json.load(f)
+    assert head["mode"] == "replace" and "deletes" not in head
+
+    # GC: once older snapshots expire, the delete files are orphans
+    expire_snapshots(t, keep_last=1)
+    orphans = vacuum(t)
+    assert any("/deletes/" in p for p in orphans)
+    assert not os.path.isdir(os.path.join(t, "deletes", f"s={s2:06d}"))
+    assert sorted(r.id for r in read_snapshot(spark, t).collect()) == ids
+
+
+def test_deletes_survive_sharded_manifest(spark, tmp_path):
+    """The `added` sequence column round-trips through the sharded
+    manifest tree, so delete scoping works past the shard threshold."""
+    from parquet_producers_spark.sources.snapshots import commit_deletes
+
+    t = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "id int, v string")
+    commit_snapshot(spark, base.repartition(6), t, shard_threshold=4)
+    commit_deletes(spark, t, spark.createDataFrame(
+        [(i,) for i in range(10)], "id int"), ["id"], shard_threshold=4)
+    commit_snapshot(spark, spark.createDataFrame(
+        [(3, "back")], "id int, v string").coalesce(1), t,
+        mode="append", shard_threshold=4)
+    got = sorted((r.id, r.v) for r in read_snapshot(spark, t).collect())
+    assert (3, "back") in got
+    assert [g for g in got if g[0] < 10] == [(3, "back")]
+    assert len(got) == 11
