@@ -743,18 +743,21 @@ def q_snapshot_incremental(spark, sf):
 
 
 def q_snapshot_row_deletes(spark, sf):
-    """Row-level deletes on the Iceberg-shaped table (Iceberg v2
-    equality-delete shape, sources/snapshots.py::commit_deletes):
-    commit documents, commit an equality-delete file (doc_id % 7 == 0 —
-    metadata + a small key file, no data rewrite), then APPEND a
-    re-insert subset (doc_id % 21 == 0): the delete's sequence number
-    must not suppress rows added after it. Read merge-on-read,
-    aggregate per lang; then rewrite_deletes materializes the view as a
-    replace commit and the re-read must agree (``rewrite_consistent``
-    pins it). Oracle: the same survivor set over the raw table."""
+    """Row-level deletes AND upserts on the Iceberg-shaped table
+    (Iceberg v2 equality-delete shape, sources/snapshots.py):
+    commit documents; commit_deletes an equality-delete file
+    (doc_id % 7 == 0 — metadata + a small key file, no data rewrite);
+    APPEND a re-insert subset (doc_id % 21 == 0): the delete's sequence
+    number must not suppress rows added after it; then commit_upsert
+    (doc_id % 5 == 0 with n_chars+1000 — ONE atomic snapshot doing
+    delete-by-key + append). Read merge-on-read, aggregate per lang;
+    then rewrite_deletes materializes the view as a replace commit and
+    the re-read must agree (``rewrite_consistent`` pins it). Oracle:
+    the same survivor set over the raw table."""
     from parquet_producers_spark.sources.snapshots import (
         commit_deletes,
         commit_snapshot,
+        commit_upsert,
         read_snapshot,
         rewrite_deletes,
     )
@@ -765,6 +768,11 @@ def q_snapshot_row_deletes(spark, sf):
     commit_deletes(spark, t, d.filter(F.col("doc_id") % 7 == 0), ["doc_id"])
     commit_snapshot(spark, d.filter(F.col("doc_id") % 21 == 0).coalesce(1),
                     t, mode="append")
+    commit_upsert(
+        spark, t,
+        d.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("n_chars", F.col("n_chars") + F.lit(1000)).coalesce(1),
+        ["doc_id"])
     cur = read_snapshot(spark, t).localCheckpoint(eager=False)
     agg = (
         cur.groupBy("lang")
@@ -1779,16 +1787,24 @@ FROM documents WHERE n_chars BETWEEN 100 AND 199
 GROUP BY lang
 """
 
-    # row-level deletes: survivors = rows whose key escaped the delete
-    # (doc_id % 7 != 0) plus the re-inserted append (doc_id % 21 == 0 —
-    # sequence scoping makes post-delete appends visible again);
-    # rewrite_consistent pins that the materializing replace commit
-    # reads identically to the merge-on-read view
+    # row-level deletes + upsert: survivors = rows whose key escaped
+    # both the delete (doc_id % 7 != 0) and the upsert's key set
+    # (doc_id % 5 != 0), plus the re-inserted append (doc_id % 21 == 0,
+    # sequence scoping makes post-delete appends visible again, minus
+    # the upsert keys), plus the upserted rows themselves (every
+    # doc_id % 5 == 0 at n_chars + 1000 — upsert re-adds even
+    # previously deleted keys); rewrite_consistent pins that the
+    # materializing replace commit reads identically to merge-on-read
     sql["snapshot_row_deletes"] = """
 WITH cur AS (
-  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 7 <> 0
+  SELECT doc_id, lang, n_chars FROM documents
+  WHERE doc_id % 7 <> 0 AND doc_id % 5 <> 0
   UNION ALL
-  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 21 = 0
+  SELECT doc_id, lang, n_chars FROM documents
+  WHERE doc_id % 21 = 0 AND doc_id % 5 <> 0
+  UNION ALL
+  SELECT doc_id, lang, n_chars + 1000 AS n_chars FROM documents
+  WHERE doc_id % 5 = 0
 )
 SELECT lang,
        COUNT(*) AS n_docs,

@@ -391,6 +391,55 @@ def commit_deletes(
     return new_id
 
 
+def commit_upsert(
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    key_cols: list[str],
+    store: FileStore | None = None,
+    shard_threshold: int = SHARD_THRESHOLD,
+) -> int:
+    """Atomic UPSERT (MERGE) commit — the Iceberg ``MERGE INTO`` shape,
+    and the lakehouse form of the reference's Add/Update instruction
+    (update semantics, reference README.md:115-144): ONE snapshot that
+    both suppresses the table's existing rows for ``df``'s keys (an
+    equality-delete entry whose sequence covers only files added
+    before this commit) and appends ``df``'s rows as new data files.
+    Readers flip at the single manifest write — there is no window
+    where the delete landed but the new rows didn't; time travel sees
+    the pre-merge table. Cost: O(df) writes, zero rewrites of existing
+    data; :func:`rewrite_deletes` folds the accumulated delete entries
+    away when read amplification adds up."""
+    store = store or LocalStore()
+    snaps = list_snapshots(table_dir, store)
+    if not snaps:
+        return commit_snapshot(spark, df, table_dir, store=store,
+                               shard_threshold=shard_threshold)
+    new_id = snaps[-1] + 1
+    df = df.localCheckpoint(eager=False)  # consumed twice (keys + data)
+    # both artifacts land BEFORE the atomic manifest pointer
+    ddir = posixpath.join(table_dir, f"deletes/s={new_id:06d}")
+    df.select(*key_cols).distinct().write.mode("overwrite").parquet(ddir)
+    data_dir = posixpath.join(table_dir, f"data/s={new_id:06d}")
+    df.write.mode("overwrite").parquet(data_dir)
+    listed = sorted(
+        e for e in store.listdir(data_dir)
+        if e.endswith(".parquet") and not e.startswith(("_", "."))
+    )
+    paths = [posixpath.join(data_dir, name) for name in listed]
+    prev = store.read_json(_manifest_path(table_dir, snaps[-1]))
+    prev_files = _manifest_files(table_dir, prev, store)
+    stats = _footer_stats(spark, paths)
+    new_files = [{"path": p, "rows": stats[p], "added": new_id}
+                 for p in paths]
+    deletes = prev.get("deletes", []) + [
+        {"path": ddir, "key_cols": list(key_cols), "seq": new_id}]
+    _write_manifest(spark, table_dir, new_id, snaps[-1], "upsert",
+                    prev["schema_ddl"], prev_files + new_files, store,
+                    shard_threshold, deletes=deletes)
+    return new_id
+
+
 def rewrite_deletes(
     spark: SparkSession,
     table_dir: str,

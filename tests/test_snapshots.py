@@ -762,3 +762,34 @@ def test_deletes_survive_sharded_manifest(spark, tmp_path):
     assert (3, "back") in got
     assert [g for g in got if g[0] < 10] == [(3, "back")]
     assert len(got) == 11
+
+
+def test_upsert_commit_atomic_merge(spark, tmp_path):
+    """commit_upsert is ONE snapshot doing delete-by-key + append:
+    updated keys carry the new values, fresh keys insert, untouched
+    rows survive, time travel sees the pre-merge state, and a second
+    upsert over an upserted key takes the newest value."""
+    from parquet_producers_spark.sources.snapshots import commit_upsert
+
+    t = str(tmp_path / "tbl")
+    s1 = commit_snapshot(spark, spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id int, v string").coalesce(1), t)
+    s2 = commit_upsert(spark, t, spark.createDataFrame(
+        [(2, "B2"), (4, "d")], "id int, v string").coalesce(1), t_keys := ["id"])
+    assert s2 == s1 + 1
+    got = sorted((r.id, r.v) for r in read_snapshot(spark, t).collect())
+    assert got == [(1, "a"), (2, "B2"), (3, "c"), (4, "d")]
+    # time travel: pre-merge state intact
+    assert sorted((r.id, r.v) for r in read_snapshot(spark, t, s1).collect()) \
+        == [(1, "a"), (2, "b"), (3, "c")]
+    # upsert-over-upsert: latest sequence wins
+    commit_upsert(spark, t, spark.createDataFrame(
+        [(2, "B3")], "id int, v string").coalesce(1), t_keys)
+    got = sorted((r.id, r.v) for r in read_snapshot(spark, t).collect())
+    assert got == [(1, "a"), (2, "B3"), (3, "c"), (4, "d")]
+    # an upsert into an empty table is a plain first commit
+    t2 = str(tmp_path / "tbl2")
+    commit_upsert(spark, t2, spark.createDataFrame(
+        [(9, "z")], "id int, v string").coalesce(1), ["id"])
+    assert [(r.id, r.v) for r in read_snapshot(spark, t2).collect()] \
+        == [(9, "z")]
