@@ -759,6 +759,13 @@ def encode_table_incremental(
 
     Returns ``{"version", "snapshot", "rows"}``; a no-change wave
     returns the previous mapping with ``rows=0`` and writes nothing.
+
+    Non-append history (a replace commit — including
+    :func:`rewrite_deletes` — or live equality-delete entries) REBASES
+    instead of appending: the current table view is encoded whole as
+    one new version and the wave list atomically flips to it, exactly
+    like the table's own replace; superseded versions are then
+    :func:`expire_encoded_versions` fodder.
     """
     from ..storage import encode_run
 
@@ -777,12 +784,45 @@ def encode_table_incremental(
     if last_snap == latest:
         return {**waves[-1], "rows": 0} if waves else {
             "version": 0, "snapshot": latest, "rows": 0}
-    delta = (snapshot_diff(spark, table_dir, last_snap, latest)
-             if last_snap is not None
-             else read_snapshot(spark, table_dir, latest))
+    # Delta-append is only sound over a PURE APPEND chain: the wave diff
+    # is file identity, so a replace commit (incl. rewrite_deletes) or a
+    # live equality-delete entry would leave superseded rows in older
+    # waves — the union would silently disagree with the table. Walk the
+    # manifest chain latest→last_snap (metadata reads only): any
+    # non-append commit, live deletes, or an expired link ⇒ REBASE —
+    # encode the full current view (read_snapshot applies deletes
+    # merge-on-read) as one wave and atomically REPLACE the wave list,
+    # mirroring the table's own replace; superseded versions become
+    # expire_encoded_versions fodder.
+    rebase = False
+    if last_snap is not None:
+        sid = latest
+        while sid is not None and sid != last_snap:
+            m = store.read_json(_manifest_path(table_dir, sid))
+            # delete entries CARRIED FORWARD by appends (seq ≤
+            # last_snap) are already reflected in the covered store (the
+            # wave that advanced coverage past them rebased then); only
+            # deletes newer than the coverage force a rebase now
+            if m["mode"] != "append" or any(
+                    d["seq"] > last_snap for d in m.get("deletes", [])):
+                rebase = True
+                break
+            sid = m.get("parent")
+        if sid != last_snap:
+            rebase = True
+    if rebase or last_snap is None:
+        delta = read_snapshot(spark, table_dir, latest, store)
+    else:
+        delta = snapshot_diff(spark, table_dir, last_snap, latest, store)
     delta = delta.localCheckpoint(eager=False)
     n_rows = delta.count()
     if n_rows == 0:
+        if rebase:
+            # the table was replaced/merged down to zero rows: the store
+            # must forget its waves, not keep stale ones
+            store.write_json_atomic(
+                map_path, {"waves": [], "covered": latest})
+            return {"version": 0, "snapshot": latest, "rows": 0}
         # a newer snapshot with no new rows (empty table, empty append,
         # replace with identical files): advance the covered-snapshot
         # marker so later diffs use the new baseline, but encode nothing
@@ -812,9 +852,14 @@ def encode_table_incremental(
         if new_v != version:
             wave = {"version": new_v, "snapshot": latest,
                     "compacted_from": version}
-    waves.append(wave)
+    if rebase:
+        smap["waves"] = [
+            {**wave, "rebased_from": [w["version"] for w in waves]}]
+        smap.pop("covered", None)
+    else:
+        waves.append(wave)
     store.write_json_atomic(_snapshot_map_path(enc_root, stage), smap)
-    return {**wave, "rows": int(n_rows)}
+    return {**smap["waves"][-1], "rows": int(n_rows)}
 
 
 def read_encoded_table(

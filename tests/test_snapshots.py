@@ -793,3 +793,48 @@ def test_upsert_commit_atomic_merge(spark, tmp_path):
         [(9, "z")], "id int, v string").coalesce(1), ["id"])
     assert [(r.id, r.v) for r in read_snapshot(spark, t2).collect()] \
         == [(9, "z")]
+
+
+def test_incremental_wave_rebases_on_non_append_history(spark, tmp_path):
+    """Encode waves are file-identity appends, so non-append history
+    (live delete entries, replace commits incl. rewrite_deletes) must
+    REBASE: the wave re-encodes the current merge-on-read view whole
+    and atomically replaces the wave list — the decoded store tracks
+    the table through deletes, and the superseded version becomes GC
+    fodder."""
+    from parquet_producers_spark.encoder import decode_chunks
+    from parquet_producers_spark.sources.snapshots import (
+        commit_deletes,
+        encode_table_incremental,
+        expire_encoded_versions,
+        read_encoded_table,
+    )
+    from parquet_producers_spark.storage import list_versions
+
+    t = str(tmp_path / "tbl")
+    enc = str(tmp_path / "enc")
+    commit_snapshot(spark, spark.createDataFrame(
+        [(i, f"v{i}") for i in range(8)], "id int, v string").coalesce(1), t)
+    encode_table_incremental(spark, t, enc, "code", sort_cols=["id"],
+                             n_slices=2)
+    commit_deletes(spark, t, spark.createDataFrame(
+        [(0,), (1,)], "id int"), ["id"])
+    w = encode_table_incremental(spark, t, enc, "code", sort_cols=["id"],
+                                 n_slices=2)
+    assert w["rebased_from"] == [1] and w["version"] == 2
+    decoded = decode_chunks(read_encoded_table(spark, enc, "code"),
+                            ordered=False)
+    assert sorted(r.id for r in decoded.collect()) == list(range(2, 8))
+    # the pre-rebase version is unreferenced and older than the fence
+    assert expire_encoded_versions(enc, "code") == [1]
+    assert list_versions(enc, "code") == [2]
+    # appends after a rebase go back to cheap delta waves
+    commit_snapshot(spark, spark.createDataFrame(
+        [(100, "x")], "id int, v string").coalesce(1), t, mode="append")
+    w2 = encode_table_incremental(spark, t, enc, "code", sort_cols=["id"],
+                                  n_slices=2)
+    assert w2["version"] == 3 and "rebased_from" not in w2
+    decoded = decode_chunks(read_encoded_table(spark, enc, "code"),
+                            ordered=False)
+    assert sorted(r.id for r in decoded.collect()) == \
+        list(range(2, 8)) + [100]
