@@ -64,34 +64,91 @@ def list_snapshots(table_dir: str, store: FileStore | None = None) -> list[int]:
     )
 
 
-def _footer_stats(spark: SparkSession, paths: list[str]) -> dict[str, int]:
-    """Rows per file from parquet FOOTERS — metadata-only reads, never a
-    data scan (the previous implementation scanned every row through
+def _one_footer(path: str, stats_cols: list[str]) -> tuple[int, dict]:
+    """Rows + per-column {min,max} for ``stats_cols`` from ONE parquet
+    footer (metadata only). A column's stats are omitted — never
+    guessed — when any row group lacks min/max or the values aren't
+    JSON-portable (int/float/str); absent stats mean "cannot prune",
+    which is always safe."""
+    md = open_parquet_any(path).metadata
+    out: dict[str, dict] = {}
+    if stats_cols:
+        names = [md.schema.column(i).path for i in range(md.num_columns)]
+        for c in stats_cols:
+            if c not in names:
+                continue
+            ci = names.index(c)
+            lo = hi = None
+            ok = md.num_row_groups > 0
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode(), mx.decode()
+                    except UnicodeDecodeError:
+                        ok = False
+                        break
+                if not isinstance(mn, (int, float, str)):
+                    ok = False
+                    break
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
+            if ok:
+                out[c] = {"min": lo, "max": hi}
+    return md.num_rows, out
+
+
+def _footer_stats(
+    spark: SparkSession,
+    paths: list[str],
+    stats_cols: list[str] | None = None,
+) -> dict:
+    """Per-file stats from parquet FOOTERS — metadata-only reads, never
+    a data scan (the previous implementation scanned every row through
     ``input_file_name()`` and then suffix-matched the result O(files²)).
     Small lists read on the driver; large ones fan out as one footer
-    read per file across the executors."""
+    read per file across the executors.
+
+    Returns ``{path: rows}``; with ``stats_cols``,
+    ``{path: (rows, {col: {"min":…, "max":…}})}`` (the file-skipping
+    planning input — see :func:`snapshot_files_pruned`)."""
+    import json
+
     if len(paths) <= _STATS_DISTRIBUTE_OVER:
-        return {p: open_parquet_any(p).metadata.num_rows for p in paths}
+        if stats_cols is None:
+            return {p: open_parquet_any(p).metadata.num_rows for p in paths}
+        return {p: _one_footer(p, stats_cols) for p in paths}
     import pandas as pd
 
     pdf = spark.createDataFrame(
         pd.DataFrame({"path": paths}), schema="path string")
+    cols = list(stats_cols or [])
 
     def footer(batches):
-        from parquet_producers_spark.encoder import open_parquet_any as opn
+        from parquet_producers_spark.sources.snapshots import _one_footer
 
         for b in batches:
-            yield pd.DataFrame({
-                "path": b["path"],
-                "rows": [opn(p).metadata.num_rows for p in b["path"]],
-            })
+            rows, stats = [], []
+            for p in b["path"]:
+                n, s = _one_footer(p, cols)
+                rows.append(n)
+                stats.append(json.dumps(s) if cols else None)
+            yield pd.DataFrame(
+                {"path": b["path"], "rows": rows, "stats": stats})
 
     rows = (
         pdf.repartition(spark.sparkContext.defaultParallelism)
-        .mapInPandas(footer, schema="path string, rows long")
+        .mapInPandas(footer, schema="path string, rows long, stats string")
         .collect()
     )
-    return {r["path"]: int(r["rows"]) for r in rows}
+    if stats_cols is None:
+        return {r["path"]: int(r["rows"]) for r in rows}
+    return {r["path"]: (int(r["rows"]), json.loads(r["stats"] or "{}"))
+            for r in rows}
 
 
 def _shard_dir(table_dir: str, snapshot_id: int) -> str:
@@ -120,13 +177,18 @@ def _manifest_files(table_dir: str, manifest: dict,
         # pre-round-5 shards.
         added = (t.column("added").to_pylist()
                  if "added" in t.column_names else [None] * t.num_rows)
-        out.extend(
-            {"path": p,
-             "rows": int(r) if r is not None else None,
-             "added": int(a) if a is not None else None}
-            for p, r, a in zip(t.column("path").to_pylist(),
-                               t.column("rows").to_pylist(), added)
-        )
+        stats = (t.column("stats").to_pylist()
+                 if "stats" in t.column_names else [None] * t.num_rows)
+        for p, r, a, s in zip(t.column("path").to_pylist(),
+                              t.column("rows").to_pylist(), added, stats):
+            e = {"path": p,
+                 "rows": int(r) if r is not None else None,
+                 "added": int(a) if a is not None else None}
+            if s:
+                import json
+
+                e["stats"] = json.loads(s)
+            out.append(e)
     return out
 
 
@@ -180,6 +242,8 @@ def _write_manifest(
         # manifest tree: file list as parquet shards, written by Spark
         # (distributed), JSON snapshot is just the pointer. Write shards
         # BEFORE the pointer — the atomic commit point stays the JSON.
+        import json
+
         import pandas as pd
 
         fdir = _shard_dir(table_dir, new_id)
@@ -192,8 +256,14 @@ def _write_manifest(
                     "path": [f["path"] for f in files],
                     "rows": [f.get("rows") for f in files],
                     "added": [f.get("added") for f in files],
+                    # per-file column min/max as a JSON map — keeps the
+                    # shard schema stable across tables with different
+                    # stats_cols, and file-skipping filters it with
+                    # get_json_object ON the shard frames (no driver loop)
+                    "stats": [json.dumps(f["stats"])
+                              if f.get("stats") else None for f in files],
                 }),
-                schema="path string, rows long, added long",
+                schema="path string, rows long, added long, stats string",
             )
             .repartition(n_shards)
             .write.mode("overwrite").parquet(fdir)
@@ -209,6 +279,7 @@ def commit_snapshot(
     mode: str = "append",
     store: FileStore | None = None,
     shard_threshold: int = SHARD_THRESHOLD,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Write ``df``'s rows as new immutable data files + one manifest.
 
@@ -218,6 +289,13 @@ def commit_snapshot(
     Returns the new snapshot id. The commit point is the atomic
     manifest write: a reader either sees the complete new snapshot or
     the previous one.
+
+    ``stats_cols`` captures per-file column min/max from the parquet
+    FOOTERS (metadata-only, same read that already takes row counts)
+    into each manifest entry's ``stats`` — the planning input for
+    manifest-level FILE SKIPPING (:func:`snapshot_files_pruned` /
+    :func:`read_snapshot_where`): Iceberg's scan-planning story, where
+    a range predicate prunes whole files before any data read.
     """
     store = store or LocalStore()
     snaps = list_snapshots(table_dir, store)
@@ -233,7 +311,7 @@ def commit_snapshot(
     schema_ddl = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
     return _commit_paths(spark, table_dir, paths, mode, schema_ddl,
-                         store, shard_threshold, snaps, new_id)
+                         store, shard_threshold, snaps, new_id, stats_cols)
 
 
 def commit_files(
@@ -244,6 +322,7 @@ def commit_files(
     schema_ddl: str | None = None,
     store: FileStore | None = None,
     shard_threshold: int = SHARD_THRESHOLD,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Register EXISTING immutable parquet files as a new snapshot
     without rewriting their bytes — Iceberg's ``add_files`` import
@@ -264,11 +343,12 @@ def commit_files(
         else:
             schema_ddl = ""
     return _commit_paths(spark, table_dir, sorted(paths), mode, schema_ddl,
-                         store, shard_threshold, snaps, new_id)
+                         store, shard_threshold, snaps, new_id, stats_cols)
 
 
 def _commit_paths(spark, table_dir, paths, mode, schema_ddl, store,
-                  shard_threshold, snaps, new_id) -> int:
+                  shard_threshold, snaps, new_id,
+                  stats_cols=None) -> int:
     prev_files: list[dict] = []
     prev_deletes: list[dict] = []
     if snaps and mode == "append":
@@ -277,11 +357,16 @@ def _commit_paths(spark, table_dir, paths, mode, schema_ddl, store,
         # append commits carry live equality-delete files forward;
         # replace is a clean slate (the new file set IS the table)
         prev_deletes = prev.get("deletes", [])
-    stats = _footer_stats(spark, paths)
     # `added` = the snapshot this file entered the table: the sequence
     # that scopes which delete files apply to its rows (commit_deletes)
-    new_files = [{"path": p, "rows": stats[p], "added": new_id}
-                 for p in paths]
+    if stats_cols:
+        stats = _footer_stats(spark, paths, stats_cols)
+        new_files = [{"path": p, "rows": stats[p][0], "added": new_id,
+                      "stats": stats[p][1]} for p in paths]
+    else:
+        stats = _footer_stats(spark, paths)
+        new_files = [{"path": p, "rows": stats[p], "added": new_id}
+                     for p in paths]
     _write_manifest(
         spark, table_dir, new_id, snaps[-1] if snaps else None, mode,
         schema_ddl, prev_files + new_files, store, shard_threshold,
@@ -320,6 +405,18 @@ def read_snapshot(
         raise ValueError(f"snapshot {sid} not in {snaps}")
     manifest = store.read_json(_manifest_path(table_dir, sid))
     files = _manifest_files(table_dir, manifest, store)
+    return _scan_files(spark, manifest, files, merge_schema)
+
+
+def _scan_files(
+    spark: SparkSession,
+    manifest: dict,
+    files: list[dict],
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Scan a subset of a snapshot's file entries with the snapshot's
+    delete semantics applied — the shared tail of :func:`read_snapshot`
+    and the pruned :func:`read_snapshot_where` path."""
     if not files:
         return spark.createDataFrame([], schema=manifest["schema_ddl"])
     reader = spark.read
@@ -530,6 +627,114 @@ def snapshot_files(table_dir: str, snapshot_id: int | None = None,
     sid = snapshot_id if snapshot_id is not None else snaps[-1]
     manifest = store.read_json(_manifest_path(table_dir, sid))
     return _manifest_files(table_dir, manifest, store)
+
+
+def _stats_overlap(st: dict | None, column: str, lo, hi) -> bool:
+    """True when the file MAY contain rows with ``column`` in
+    [lo, hi] — i.e. keep it. Missing stats keep the file: pruning is
+    planning, never a correctness filter."""
+    s = (st or {}).get(column)
+    if not s or s.get("min") is None or s.get("max") is None:
+        return True
+    if lo is not None and s["max"] < lo:
+        return False
+    if hi is not None and s["min"] > hi:
+        return False
+    return True
+
+
+def snapshot_files_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    column: str,
+    lo=None,
+    hi=None,
+    snapshot_id: int | None = None,
+    store: FileStore | None = None,
+    cast: str | None = None,
+) -> list[dict]:
+    """Manifest-level FILE SKIPPING (Iceberg scan planning): the
+    snapshot's file list minus files whose ``stats`` min/max prove no
+    row can satisfy ``lo <= column <= hi`` — decided from the manifest
+    alone, zero data reads. At 10^12 files this is the difference
+    between scanning a shard and scanning the table.
+
+    Inline manifests prune on the driver (they're small by
+    construction); the sharded manifest-tree form filters the parquet
+    shard FRAMES with Spark (``get_json_object`` over the stats map —
+    no driver loop). Files without stats for ``column`` are always
+    kept. ``cast`` is the SQL type the zone strings compare under
+    (default: inferred from ``lo``/``hi`` — string bounds compare
+    lexicographically, anything else as bigint)."""
+    store = store or LocalStore()
+    snaps = list_snapshots(table_dir, store)
+    sid = snapshot_id if snapshot_id is not None else snaps[-1]
+    manifest = store.read_json(_manifest_path(table_dir, sid))
+    if "files" in manifest:
+        return [f for f in manifest["files"]
+                if _stats_overlap(f.get("stats"), column, lo, hi)]
+
+    from pyspark.sql import functions as F
+
+    if cast is None:
+        cast = "string" if isinstance(lo if lo is not None else hi, str) \
+            else "bigint"
+    sdf = spark.read.parquet(manifest["files_dir"])
+    if "stats" not in sdf.columns:
+        files = _manifest_files(table_dir, manifest, store)
+        return files
+    mn = F.get_json_object("stats", f"$['{column}'].min").cast(cast)
+    mx = F.get_json_object("stats", f"$['{column}'].max").cast(cast)
+    keep = mn.isNull() | mx.isNull()
+    if lo is not None:
+        keep = keep | (mx >= F.lit(lo))
+    else:
+        keep = keep | F.lit(True)
+    if hi is not None:
+        keep = keep & (mn.isNull() | mx.isNull() | (mn <= F.lit(hi)))
+    rows = sdf.filter(keep).collect()
+    out = []
+    for r in rows:
+        e = {"path": r["path"],
+             "rows": int(r["rows"]) if r["rows"] is not None else None,
+             "added": int(r["added"]) if r["added"] is not None else None}
+        if r["stats"]:
+            import json
+
+            e["stats"] = json.loads(r["stats"])
+        out.append(e)
+    return out
+
+
+def read_snapshot_where(
+    spark: SparkSession,
+    table_dir: str,
+    column: str,
+    lo=None,
+    hi=None,
+    snapshot_id: int | None = None,
+    store: FileStore | None = None,
+    cast: str | None = None,
+) -> DataFrame:
+    """Range scan with manifest-level file skipping: plan the file list
+    with :func:`snapshot_files_pruned`, scan ONLY the surviving files
+    (delete semantics applied, same as :func:`read_snapshot`), then
+    apply the EXACT predicate — pruning is an optimization layered
+    under the filter, never a substitute for it."""
+    from pyspark.sql import functions as F
+
+    store = store or LocalStore()
+    snaps = list_snapshots(table_dir, store)
+    sid = snapshot_id if snapshot_id is not None else snaps[-1]
+    manifest = store.read_json(_manifest_path(table_dir, sid))
+    files = snapshot_files_pruned(
+        spark, table_dir, column, lo, hi, sid, store, cast)
+    df = _scan_files(spark, manifest, files)
+    if lo is not None:
+        df = df.filter(F.col(column) >= F.lit(lo))
+    if hi is not None:
+        df = df.filter(F.col(column) <= F.lit(hi))
+    return df
 
 
 def encode_snapshot(

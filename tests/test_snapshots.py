@@ -838,3 +838,74 @@ def test_incremental_wave_rebases_on_non_append_history(spark, tmp_path):
                             ordered=False)
     assert sorted(r.id for r in decoded.collect()) == \
         list(range(2, 8)) + [100]
+
+
+def test_file_skipping_from_manifest_stats(spark, tmp_path):
+    """Per-file column min/max captured from parquet FOOTERS at commit
+    (stats_cols) lets reads prune whole files from the manifest alone —
+    zero data reads for planning; pruning is never a correctness
+    filter (exact predicate still applied; files without stats are
+    kept)."""
+    from pyspark.sql import functions as F
+
+    from parquet_producers_spark.sources.snapshots import (
+        read_snapshot_where,
+        snapshot_files_pruned,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", i % 3) for i in range(1000)],
+        "id int, v string, g int")
+    commit_snapshot(
+        spark,
+        df.repartitionByRange(8, "id").sortWithinPartitions("id"),
+        t, stats_cols=["id"])
+
+    files = snapshot_files(t)
+    assert all("stats" in f and "id" in f["stats"] for f in files)
+
+    pruned = snapshot_files_pruned(spark, t, "id", lo=100, hi=299)
+    assert 0 < len(pruned) < len(files)
+
+    got = read_snapshot_where(spark, t, "id", lo=100, hi=299)
+    assert sorted(r.id for r in got.collect()) == list(range(100, 300))
+
+    # open ranges and a no-stats column: never lose rows
+    assert read_snapshot_where(spark, t, "id", lo=990).count() == 10
+    assert read_snapshot_where(spark, t, "g", lo=1, hi=1).count() == \
+        df.filter("g = 1").count()
+
+
+def test_file_skipping_sharded_manifest(spark, tmp_path):
+    """Stats survive the sharded manifest tree and the pruning filter
+    runs on the shard FRAMES (a Spark filter over parquet shards — no
+    driver loop), so file skipping holds at manifest-tree scale."""
+    from parquet_producers_spark.sources.snapshots import (
+        read_snapshot_where,
+        snapshot_files_pruned,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(400)], "id int, v string")
+    commit_snapshot(
+        spark, df.repartitionByRange(8, "id").sortWithinPartitions("id"),
+        t, stats_cols=["id"], shard_threshold=4)
+
+    pruned = snapshot_files_pruned(spark, t, "id", lo=0, hi=49)
+    assert 0 < len(pruned) < 8
+    got = read_snapshot_where(spark, t, "id", lo=0, hi=49)
+    assert got.count() == 50
+
+    # string zone maps prune under the column's own type
+    t2 = str(tmp_path / "tbl2")
+    commit_snapshot(
+        spark,
+        spark.createDataFrame(
+            [(f"k{i:04d}", i) for i in range(400)], "k string, n int")
+        .repartitionByRange(8, "k").sortWithinPartitions("k"),
+        t2, stats_cols=["k"], shard_threshold=4)
+    got = read_snapshot_where(spark, t2, "k", lo="k0100", hi="k0199",
+                              cast="string")
+    assert got.count() == 100
