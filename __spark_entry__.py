@@ -635,6 +635,54 @@ def q_codec_incremental_waves(spark, sf):
     )
 
 
+def q_codec_sorted_read(spark, sf):
+    """Zone-planned SORTED-MERGE READ (sortedread.py) — the reference's
+    sorted-consumer contract (ParquetSortedRead.cs:12-49 /
+    ParquetSortedMerge.cs:10-52 iterate + k-way merge pre-sorted runs)
+    as a Spark plan with NO total sort: key ranges cut from chunk zone
+    maps (driver metadata), chunks broadcast-assigned to ranges, decode
+    + exact bounds, ONE hash shuffle on range_id, local sorts. The
+    ``is_sorted`` flag pins the order contract inside the query: zero
+    physical-order violations (monotonically_increasing_id preserves
+    physical row order within a partition) AND ranges tile the key
+    space. Oracle: the same per-lang aggregate over raw documents with
+    the flag literal — the sorted read must lose/dup nothing."""
+    from pyspark.sql import Window
+
+    from parquet_producers_spark.encoder import encode_partitions
+    from parquet_producers_spark.sortedread import read_sorted
+
+    _ensure_pkg(spark)
+    d = _t(spark, sf, "documents").select(
+        F.format_string("d%08d", "doc_id").alias("k"),
+        "lang", "n_chars", "text")
+    chunks = encode_partitions(
+        d, sort_cols=["k"], partitions=8, chunk_rows=512, profile="fast")
+    out = read_sorted(chunks, "k", n_ranges=6).localCheckpoint(eager=False)
+
+    probe = out.select(
+        F.spark_partition_id().alias("pid"),
+        F.monotonically_increasing_id().alias("mid"),
+        F.concat(F.format_string("%06d", "range_id"),
+                 F.lit("|"), "k").alias("c"))
+    w = Window.partitionBy("pid").orderBy("mid")
+    viol = (probe.withColumn("prev", F.lag("c").over(w))
+            .filter(F.col("prev") > F.col("c")).count())
+    spans = (out.groupBy("range_id")
+             .agg(F.min("k").alias("mn"), F.max("k").alias("mx"))
+             .orderBy("range_id").collect())
+    tiled = all(a["mx"] <= b["mn"] for a, b in zip(spans, spans[1:]))
+    flag = 1 if (viol == 0 and tiled and len(spans) > 1) else 0
+    hash60 = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("bigint")
+    return (
+        out.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").cast("bigint").alias("total_chars"),
+             F.sum(F.pmod(hash60, F.lit(1000000007))).alias("text_hashsum"),
+             F.lit(flag).alias("is_sorted"))
+    )
+
+
 def q_codec_compaction(spark, sf):
     """Maintenance op ON the encoded format (compaction.py — the chunk
     table's rewrite_data_files): encode documents into a deliberately
@@ -1381,6 +1429,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   semi_join_customers    ⊂ customers_without_orders (the judge's own
     #                            §2.2 grouping lists anti/semi as ONE
     #                            family; slot went to snapshot_file_skipping)
+    #   user_running_value     ⊂ order_rank_window (same window family;
+    #                            slot went to codec_sorted_read — the new
+    #                            sorted-merge consumer path)
     return {
         "producer_incremental_content": q_producer_incremental_content,
         "producer_incremental_cdc": q_producer_incremental_cdc,
@@ -1402,7 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_row_deletes": q_snapshot_row_deletes,
         "props_json_extract": q_props_json_extract,
         "monthly_revenue": q_monthly_revenue,
-        "user_running_value": q_user_running_value,
+        "codec_sorted_read": q_codec_sorted_read,
         "sessionize": q_sessionize,
         "asof_purchase": q_asof_purchase,
         "price_band_range_join": q_price_band_range_join,
@@ -1443,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_sales": q_cube_sales,
         "except_buyers": q_except_buyers,
         "semi_join_customers": q_semi_join_customers,
+        "user_running_value": q_user_running_value,
         "region_customer_count": q_region_customer_count,
         "event_type_stats": q_event_type_stats,
     }
@@ -2421,6 +2473,20 @@ SELECT lang,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        CAST(SUM(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
                 % 1000000007) AS BIGINT) AS text_hashsum
+FROM documents
+GROUP BY lang
+"""
+
+    # the sorted-merge read is invisible to aggregates (loses/dups
+    # nothing); is_sorted pins the order contract, verified Spark-side
+    # (physical-order probe + range tiling) and literal here
+    sql["codec_sorted_read"] = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+                % 1000000007) AS BIGINT) AS text_hashsum,
+       1 AS is_sorted
 FROM documents
 GROUP BY lang
 """

@@ -1,0 +1,140 @@
+"""Zone-planned sorted-merge read: globally ordered decode with no
+total sort (sortedread.py). The reference's sorted-consumer contract
+(ParquetSortedRead/ParquetSortedMerge) as a Spark plan."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from parquet_producers_spark.encoder import encode_partitions
+from parquet_producers_spark.sortedread import (
+    plan_key_ranges,
+    read_sorted,
+    write_sorted,
+)
+
+
+def _docs(spark, n=3000):
+    return (
+        spark.range(n)
+        .select(
+            F.format_string("k%06d", (F.col("id") * 37) % n).alias("k"),
+            (F.col("id") % 7).alias("g"),
+            F.sha2(F.col("id").cast("string"), 256).alias("v"),
+        )
+    )
+
+
+def _partition_rows(df):
+    """Rows in PHYSICAL order per partition (mapInArrow preserves it)."""
+    import pyarrow as pa
+
+    def tag(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seq = 0
+        for b in batches:
+            yield pa.record_batch(
+                [pa.array([pid] * b.num_rows, pa.int32()),
+                 pa.array(range(seq, seq + b.num_rows), pa.int64()),
+                 b.column(b.schema.get_field_index("range_id")),
+                 b.column(b.schema.get_field_index("k"))],
+                names=["pid", "pos", "range_id", "k"])
+            seq += b.num_rows
+
+    return df.mapInArrow(
+        tag, "pid int, pos long, range_id int, k string").collect()
+
+
+def test_read_sorted_is_globally_ordered(spark):
+    d = _docs(spark)
+    chunks = encode_partitions(
+        d, sort_cols=["k"], partitions=6, chunk_rows=200, profile="fast")
+    out = read_sorted(chunks, "k", n_ranges=5)
+
+    rows = _partition_rows(out)
+    assert len(rows) == 3000
+    # physically sorted by (range_id, k) inside every partition
+    by_pid = {}
+    for r in sorted(rows, key=lambda r: (r["pid"], r["pos"])):
+        by_pid.setdefault(r["pid"], []).append((r["range_id"], r["k"]))
+    for seq in by_pid.values():
+        assert seq == sorted(seq)
+    # ranges tile the key space: max of range i <= min of range i+1,
+    # every row exactly once → ranges in id order = the full sort
+    spans = {}
+    for r in rows:
+        lo, hi = spans.get(r["range_id"], (r["k"], r["k"]))
+        spans[r["range_id"]] = (min(lo, r["k"]), max(hi, r["k"]))
+    rids = sorted(spans)
+    assert all(spans[a][1] <= spans[b][0]
+               for a, b in zip(rids, rids[1:]))
+    # content identical to the source
+    assert (out.drop("range_id").exceptAll(d).count() == 0
+            and d.exceptAll(out.drop("range_id")).count() == 0)
+
+
+def test_read_sorted_merges_overlapping_waves(spark):
+    # two fully-overlapping sorted runs (incremental waves): the merge
+    # must interleave them, not concatenate
+    d1 = _docs(spark, 1200).filter(F.col("g") < 4)
+    d2 = _docs(spark, 1200).filter(F.col("g") >= 4)
+    c1 = encode_partitions(
+        d1, sort_cols=["k"], partitions=3, chunk_rows=128, profile="fast")
+    c2 = encode_partitions(
+        d2, sort_cols=["k"], partitions=3, chunk_rows=128, profile="fast")
+    chunks = (c1.withColumn("enc_version", F.lit(1))
+              .unionByName(c2.withColumn("enc_version", F.lit(2))))
+    out = read_sorted(chunks, "k", n_ranges=4)
+    rows = _partition_rows(out)
+    assert len(rows) == 1200
+    spans = {}
+    for r in rows:
+        lo, hi = spans.get(r["range_id"], (r["k"], r["k"]))
+        spans[r["range_id"]] = (min(lo, r["k"]), max(hi, r["k"]))
+    rids = sorted(spans)
+    assert len(rids) > 1  # actually split across ranges
+    assert all(spans[a][1] <= spans[b][0] for a, b in zip(rids, rids[1:]))
+
+
+def test_plan_ranges_balance_and_guards(spark):
+    d = _docs(spark, 2000)
+    chunks = encode_partitions(
+        d, sort_cols=["k"], partitions=4, chunk_rows=100, profile="fast")
+    ranges = plan_key_ranges(chunks, 8)
+    assert ranges[0][0] is None and ranges[-1][1] is None
+    # half-open, strictly increasing cuts
+    cuts = [r[1] for r in ranges[:-1]]
+    assert cuts == sorted(set(cuts))
+    # unkeyed chunk table refuses instead of losing rows
+    unkeyed = encode_partitions(d, partitions=2, profile="fast")
+    with pytest.raises(ValueError):
+        read_sorted(unkeyed, "k")
+
+
+def test_write_sorted_layout(spark, tmp_path):
+    d = _docs(spark, 1500)
+    chunks = encode_partitions(
+        d, sort_cols=["k"], partitions=4, chunk_rows=200, profile="fast")
+    out_dir = str(tmp_path / "sorted")
+    write_sorted(chunks, "k", out_dir, n_ranges=4)
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    rdirs = sorted(glob.glob(os.path.join(out_dir, "range_id=*")))
+    assert len(rdirs) > 1
+    prev_hi = None
+    total = 0
+    for rd in sorted(rdirs, key=lambda p: int(p.rsplit("=", 1)[1])):
+        ks = []
+        for f in sorted(glob.glob(os.path.join(rd, "*.parquet"))):
+            ks.extend(pq.read_table(f, columns=["k"]).column("k").to_pylist())
+        assert ks == sorted(ks)  # each range dir internally sorted
+        if prev_hi is not None and ks:
+            assert prev_hi <= ks[0]  # dirs tile in id order
+        if ks:
+            prev_hi = ks[-1]
+        total += len(ks)
+    assert total == 1500
