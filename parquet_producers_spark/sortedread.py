@@ -20,19 +20,26 @@ output needs no sampling and no global sort —
    overlaps — after consolidation runs are disjoint and the fan-out is
    ~1; overlapping incremental waves are where the merge actually
    merges.
-3. **Decode + exact filter**: chunks group-decode per (range, chunk),
-   rows outside the range's half-open bounds drop JVM-side — the
-   zone plan is never a correctness filter, duplicates from multi-range
-   chunks can't survive.
-4. **Cluster + local sort**: one hash shuffle on ``range_id`` and a
-   ``sortWithinPartitions`` — each range comes out contiguous and
-   sorted; ranges tile the key space in id order, so reading (or
-   writing) ranges in order IS the k-way merge of all runs.
+3. **Decode + exact filter + merge, one task per range**: the group
+   key IS the range, so each task receives every chunk its range
+   overlaps (compressed bytes — the ONLY shuffle in the plan), decodes
+   them, drops rows outside the range's half-open bounds (the zone
+   plan is never a correctness filter, duplicates from multi-range
+   chunks can't survive), and concatenates the runs.
+4. **Local sort, no exchange**: a ``sortWithinPartitions`` on
+   ``(range_id, key)`` — ranges are already whole inside their task's
+   partition, so this is a partition-local sort with no shuffle;
+   ranges tile the key space in id order, so reading (or writing)
+   ranges in order IS the k-way merge of all runs.
 
-Scale shape: the only row-level shuffle moves each row once by a small
-int; everything before it is metadata or compressed chunk bytes. At
-100 TB that replaces ``orderBy``'s sample pass + skew-prone range
-exchange with deterministic zone cuts.
+Scale shape: decoded ROWS are never shuffled at all — the one
+exchange moves compressed chunk blobs clustered by range (≈4× smaller
+than the rows they decode to), where ``orderBy`` pays a sampling job
+plus a skew-prone range exchange of full decoded rows. Memory rule:
+one range decodes inside one task, so size ``n_ranges`` such that
+``total_rows / n_ranges`` fits an executor's Python worker (the
+planner balances ranges by row count; ``n_ranges`` may exceed core
+count freely).
 
 Ordering contract: zones compare as STRINGS (they are ``str()`` of the
 key — encoder.py:169), so the produced order is the key's string
@@ -73,10 +80,10 @@ def plan_key_ranges(
              F.first("n_rows").alias("rows"))
         .collect()
     )
-    zones = [z for z in zones if z["mn"] is not None]
-    if not zones:
+    if any(z["mn"] is None for z in zones) or not zones:
         raise ValueError(
-            "sorted read needs key zones — encode with a key_col")
+            "sorted read needs key zones on every chunk — "
+            "encode with a key_col")
     zones.sort(key=lambda z: (z["mn"], z["mx"]))
     total = sum(z["rows"] for z in zones)
     r = n_ranges or max(1, min(
@@ -109,16 +116,20 @@ def read_sorted(
     :func:`write_sorted`'s directory layout) yields the full table in
     key order — the reference's sorted-consumer semantics
     (Parquet.Producers/ParquetSortedRead.cs:12-49) re-expressed as a
-    plan, not an iterator."""
+    plan, not an iterator.
+
+    Plan shape (the point of the module): ONE exchange total, and it
+    moves compressed chunk blobs clustered by ``range_id`` — decoded
+    rows never shuffle. Each range decodes + merges wholly inside its
+    group task, then ``sortWithinPartitions`` orders without an
+    exchange (ranges are already whole in their partition)."""
     import pandas as pd
 
     spark = chunks.sparkSession
+    # plan_key_ranges raises on any zone-less chunk — the null guard
+    # rides the same metadata job instead of paying its own
     ranges = plan_key_ranges(chunks, n_ranges)
     ident = _ident_cols(chunks)
-    if chunks.filter(F.col("key_min").isNull()).head(1):
-        raise ValueError(
-            "sorted read needs key zones on every chunk — "
-            "encode with a key_col")
 
     # assignment = broadcast theta-join of the chunk rows against the
     # tiny range list on zone overlap (chunk [key_min,key_max] ∩ range
@@ -135,8 +146,10 @@ def read_sorted(
         & (F.col("hi").isNull() | (F.col("key_min") < F.col("hi"))),
         "inner")
 
-    # group-decode per (range, chunk): same shape as decode_chunks but
-    # the group key carries the range and its bounds through
+    # group-decode per RANGE: the group key is (range_id, bounds), so
+    # the groupBy's hash exchange — the plan's only shuffle — moves the
+    # compressed blobs of each range onto one task, which reassembles
+    # every overlapping chunk, bound-filters, and concatenates the runs
     import json
 
     import pyarrow as pa
@@ -154,37 +167,50 @@ def read_sorted(
         for r in heads
     ]
     col_names = [f.name for f in fields]
-    group_cols = ["range_id", "lo", "hi"] + ident
-    out_schema = pa.schema(
-        [pa.field("range_id", pa.int32()), pa.field("__lo", pa.string()),
-         pa.field("__hi", pa.string())] + fields)
+    data_schema = pa.schema(fields)
+    out_schema = pa.schema([pa.field("range_id", pa.int32())] + fields)
     spark_schema = ", ".join(
-        ["range_id int", "__lo string", "__hi string"]
+        ["range_id int"]
         + [f"{f.name} {_spark_type(f.type)}" for f in fields])
 
     def dec(gkey, pdf):
-        rid, lo, hi = gkey[0], gkey[1], gkey[2]
-        arrays = {}
-        for _, row in pdf.iterrows():  # ≤ n_cols rows, not data rows
-            arrays[row["column"]] = decode_array(
-                bytes(row["data"]), json.loads(row["params"]))
-        n = len(next(iter(arrays.values())))
-        cols = [pa.array([int(rid)] * n, pa.int32()),
-                pa.array([lo] * n, pa.string()),
-                pa.array([hi] * n, pa.string())]
-        cols += [arrays[c] for c in col_names]
+        import pyarrow.compute as pc
+
+        rid, lo, hi = int(gkey[0]), gkey[1], gkey[2]
+        tables = []
+        # one iteration per (chunk × column) METADATA row — blobs
+        # decode vectorized, the loop never touches data rows
+        for _, grp in pdf.groupby(ident, sort=False):
+            arrays = {
+                row["column"]: decode_array(
+                    bytes(row["data"]), json.loads(row["params"]))
+                for _, row in grp.iterrows()
+            }
+            tbl = pa.table([arrays[c] for c in col_names],
+                           schema=data_schema)
+            ks = pc.cast(tbl.column(key), pa.string())
+            mask = None
+            if lo is not None:
+                mask = pc.greater_equal(ks, lo)
+            if hi is not None:
+                m = pc.less(ks, hi)
+                mask = m if mask is None else pc.and_(mask, m)
+            if mask is not None:
+                tbl = tbl.filter(mask)
+            if tbl.num_rows:
+                tables.append(tbl)
+        data = (pa.concat_tables(tables) if tables
+                else data_schema.empty_table())
+        cols = [pa.array([rid] * data.num_rows, pa.int32())]
+        cols += [data.column(c) for c in col_names]
         return pa.table(cols, schema=out_schema).to_pandas()
 
-    out = fat.groupBy(*group_cols).applyInPandas(dec, schema=spark_schema)
-    ks = F.col(key).cast("string")
-    out = out.filter(
-        (F.col("__lo").isNull() | (ks >= F.col("__lo")))
-        & (F.col("__hi").isNull() | (ks < F.col("__hi")))
-    ).drop("__lo", "__hi")
-    return (
-        out.repartition(len(ranges), "range_id")
-        .sortWithinPartitions("range_id", ks)
-    )
+    out = fat.groupBy("range_id", "lo", "hi").applyInPandas(
+        dec, schema=spark_schema)
+    # partition-local sort, NO exchange: every range is whole inside
+    # its group's partition, so (range_id, key) order within partitions
+    # + range tiling = global key order across ranges in id order
+    return out.sortWithinPartitions("range_id", F.col(key).cast("string"))
 
 
 def write_sorted(

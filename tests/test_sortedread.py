@@ -97,6 +97,26 @@ def test_read_sorted_merges_overlapping_waves(spark):
     assert all(spans[a][1] <= spans[b][0] for a, b in zip(rids, rids[1:]))
 
 
+def test_read_sorted_plan_has_one_blob_exchange(spark):
+    # the at-scale contract: ONE exchange (compressed blobs hashed by
+    # range), decoded rows never shuffle, no sampling/range partitioner
+    d = _docs(spark, 2000)
+    # materialize the chunk table first so the asserted plan is the
+    # READ path only (the encode side legitimately range-partitions)
+    chunks = encode_partitions(
+        d, sort_cols=["k"], partitions=4, chunk_rows=200,
+        profile="fast").localCheckpoint()
+    plan = read_sorted(
+        chunks, "k", n_ranges=4)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "rangepartitioning" not in plan
+    # the sort is partition-local (global=false ⇒ printed without a
+    # global Sort marker feeding an exchange)
+    assert "Exchange rangepartitioning" not in plan
+
+
 def test_plan_ranges_balance_and_guards(spark):
     d = _docs(spark, 2000)
     chunks = encode_partitions(
