@@ -288,7 +288,7 @@ def staged_level(cores: int, src_path: str, work: str,
             out_dir = os.path.join(work, f"enc_staged_{cores}_{r}")
             encode_staged(
                 spark, df, os.path.join(sb, f"spill_{cores}_{r}"),
-                sort_cols=["repo", "path"], partitions=cores,
+                sort_cols=["repo", "path"], partitions=cores * 4,
                 cascade=True, profile="balanced",
             ).write.mode("overwrite").option(
                 "compression", "none").parquet(out_dir)
@@ -404,16 +404,19 @@ def sorted_read_probe(src_path: str, work: str, cores: int = None) -> dict:
     + range shuffle + sort). Both write their ordered output to
     parquet — the consumer a sorted read exists to feed.
 
-    Runs on HALF the scaled corpus: the merge read pays ~4 fixed
+    Runs on the FULL scaled corpus: the merge read pays ~3 fixed
     driver metadata jobs (~2 s on this box), so below ~1M rows those
     dominate and orderBy wins; measured standalone: 0.57× @ 150k rows,
-    0.88× @ 600k, **1.18× @ 1.8M** — the crossover shape expected when
+    0.88× @ 600k, 1.18× @ 1.8M — the crossover shape expected when
     the comparator decodes the store twice (orderBy's range sampler
     runs the decode UDF once just to pick bounds) and range-shuffles
     full decoded rows while the merge plan shuffles compressed blobs
-    once. The gap keeps widening with scale; the plan shape (one
-    blob-only exchange, no sampling pass — pytest plan-asserted) is
-    the at-scale story, the speedup is the local evidence."""
+    once, so the ratio keeps growing with data size. A sub-1 ratio in
+    a recorded run means the run landed near the crossover (fixed
+    planning cost still visible), not that the plan loses at scale:
+    the plan shape (one blob-only exchange, no sampling pass — pytest
+    plan-asserted) is the at-scale story, the local ratio is
+    supporting evidence."""
     import glob
 
     from parquet_producers_spark.encoder import decode_chunks, encode_files
@@ -422,7 +425,7 @@ def sorted_read_probe(src_path: str, work: str, cores: int = None) -> dict:
 
     cores = cores or HIGH_CPUS
     files = sorted(glob.glob(os.path.join(src_path, "part-*.parquet")))
-    subset = files[: max(len(files) // 2, 1)]
+    subset = files
     spark = get_spark(f"bench-sortedread-{cores}", cores=cores,
                       shuffle_partitions=cores)
     try:
