@@ -487,27 +487,39 @@ def decode_chunks(chunks: DataFrame, ordered: bool = False) -> DataFrame:
     out_schema = pa.schema(
         [pa.field("__ord", pa.int64())] + fields
     )
+    out_emit = emit_schema(list(out_schema))
     spark_schema = ", ".join(
         ["__ord long"] + [f"{f.name} {_spark_type(f.type)}" for f in fields]
     )
     col_names = [f.name for f in fields]
 
-    def dec(key, pdf):
+    def dec(key, tin):
+        # ARROW-NATIVE grouped decode (applyInArrow): blobs arrive and
+        # decoded columns leave as Arrow — no pandas object conversion
+        # in either direction
+        import numpy as np
+
+        def _py(v):
+            return v.as_py() if hasattr(v, "as_py") else v
+
         # dense per-chunk ordinal: layout cols are small ints (slice ids)
         ordv = 0
         for k in key:
-            ordv = ordv * 1_000_000 + int(k)
+            ordv = ordv * 1_000_000 + int(_py(k))
         arrays = {}
-        for _, row in pdf.iterrows():  # ≤ n_cols rows, not data rows
-            arrays[row["column"]] = decode_array(
-                bytes(row["data"]), json.loads(row["params"])
+        colc, datac, parc = (tin.column("column"), tin.column("data"),
+                             tin.column("params"))
+        for i in range(tin.num_rows):  # ≤ n_cols rows, not data rows
+            arrays[_py(colc[i])] = decode_array(
+                _py(datac[i]), json.loads(_py(parc[i]))
             )
         n = len(next(iter(arrays.values())))
-        cols = [pa.array([ordv] * n, pa.int64())]
+        cols = [pa.array(np.full(n, ordv, np.int64))]
         cols += [arrays[c] for c in col_names]
-        return pa.table(cols, schema=out_schema).to_pandas()
+        tbl = pa.table(cols, schema=out_schema)
+        return tbl if out_schema == out_emit else tbl.cast(out_emit)
 
-    out = chunks.groupBy(*group_cols).applyInPandas(dec, schema=spark_schema)
+    out = chunks.groupBy(*group_cols).applyInArrow(dec, schema=spark_schema)
     if ordered:
         out = out.orderBy("__ord")
     return out.drop("__ord")
@@ -551,7 +563,10 @@ def _spark_type(t: pa.DataType) -> str:
     if t in m:
         return m[t]
     if pa.types.is_timestamp(t):
-        return "timestamp"
+        # a NAIVE arrow timestamp is Spark's TIMESTAMP_NTZ; calling it
+        # "timestamp" (session-tz) silently rewrote the column type on
+        # decode — applyInPandas coerced it, applyInArrow rejects it
+        return "timestamp" if t.tz else "timestamp_ntz"
     if pa.types.is_date(t):
         return "date"
     if pa.types.is_list(t) or pa.types.is_large_list(t):
@@ -559,6 +574,26 @@ def _spark_type(t: pa.DataType) -> str:
     if pa.types.is_decimal(t):
         return f"decimal({t.precision},{t.scale})"
     raise TypeError(f"unmapped arrow type {t}")
+
+
+def _emit_type(t: pa.DataType) -> pa.DataType:
+    """The arrow type Spark expects back for a column we DESCRIBE with
+    ``_spark_type``: large_* variants collapse to their plain forms
+    (Spark hands plain string/binary/list over the Arrow boundary;
+    per-chunk arrays are far below the 2 GB offset limit, so the cast
+    is safe)."""
+    if pa.types.is_large_string(t):
+        return pa.string()
+    if pa.types.is_large_binary(t):
+        return pa.binary()
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return pa.list_(_emit_type(t.value_type))
+    return t
+
+
+def emit_schema(fields: "list[pa.Field]") -> pa.Schema:
+    """Schema for tables RETURNED over the applyInArrow boundary."""
+    return pa.schema([pa.field(f.name, _emit_type(f.type)) for f in fields])
 
 
 def project_chunks(chunks: DataFrame, columns: list[str]) -> DataFrame:

@@ -166,25 +166,43 @@ def read_sorted(
         pa.field(r["column"], _arrow_type(json.loads(r["params"])["atype"]))
         for r in heads
     ]
+    from .encoder import emit_schema
+
     col_names = [f.name for f in fields]
     data_schema = pa.schema(fields)
     out_schema = pa.schema([pa.field("range_id", pa.int32())] + fields)
+    out_emit = emit_schema(list(out_schema))
     spark_schema = ", ".join(
         ["range_id int"]
         + [f"{f.name} {_spark_type(f.type)}" for f in fields])
 
-    def dec(gkey, pdf):
+    def dec(gkey, tin):
+        # ARROW-NATIVE grouped decode (applyInArrow): blobs arrive and
+        # decoded columns leave as Arrow — no pandas object conversion
+        # in either direction (to_pandas on decoded strings was the
+        # single largest cost of the pandas variant)
+        import numpy as np
         import pyarrow.compute as pc
 
-        rid, lo, hi = int(gkey[0]), gkey[1], gkey[2]
+        def _py(v):
+            return v.as_py() if hasattr(v, "as_py") else v
+
+        rid, lo, hi = int(_py(gkey[0])), _py(gkey[1]), _py(gkey[2])
+        # group the ≤ (chunks × columns) METADATA rows by chunk ident —
+        # the loop never touches data rows
+        ident_cols = [tin.column(c) for c in ident]
+        by_chunk: dict[tuple, list[int]] = {}
+        for i in range(tin.num_rows):
+            by_chunk.setdefault(
+                tuple(_py(c[i]) for c in ident_cols), []).append(i)
+        colc, datac, parc = (tin.column("column"), tin.column("data"),
+                             tin.column("params"))
         tables = []
-        # one iteration per (chunk × column) METADATA row — blobs
-        # decode vectorized, the loop never touches data rows
-        for _, grp in pdf.groupby(ident, sort=False):
+        for rows in by_chunk.values():
             arrays = {
-                row["column"]: decode_array(
-                    bytes(row["data"]), json.loads(row["params"]))
-                for _, row in grp.iterrows()
+                _py(colc[i]): decode_array(
+                    _py(datac[i]), json.loads(_py(parc[i])))
+                for i in rows
             }
             tbl = pa.table([arrays[c] for c in col_names],
                            schema=data_schema)
@@ -201,11 +219,12 @@ def read_sorted(
                 tables.append(tbl)
         data = (pa.concat_tables(tables) if tables
                 else data_schema.empty_table())
-        cols = [pa.array([rid] * data.num_rows, pa.int32())]
+        cols = [pa.array(np.full(data.num_rows, rid, np.int32))]
         cols += [data.column(c) for c in col_names]
-        return pa.table(cols, schema=out_schema).to_pandas()
+        tbl = pa.table(cols, schema=out_schema)
+        return tbl if out_schema == out_emit else tbl.cast(out_emit)
 
-    out = fat.groupBy("range_id", "lo", "hi").applyInPandas(
+    out = fat.groupBy("range_id", "lo", "hi").applyInArrow(
         dec, schema=spark_schema)
     # partition-local sort, NO exchange: every range is whole inside
     # its group's partition, so (range_id, key) order within partitions
