@@ -221,6 +221,7 @@ def _write_manifest(
     store: FileStore,
     shard_threshold: int,
     deletes: list[dict] | None = None,
+    stats_cols: list[str] | None = None,
 ) -> None:
     head = {
         "snapshot": new_id,
@@ -230,6 +231,11 @@ def _write_manifest(
         "schema_ddl": schema_ddl,
         "n_files": len(files),
     }
+    if stats_cols:
+        # the table's pruning contract, persisted so every later commit
+        # path (append, MERGE upsert, rewrite_deletes) keeps capturing
+        # per-file stats without each caller re-passing the list
+        head["stats_cols"] = list(stats_cols)
     if deletes:
         # equality-delete files (see commit_deletes). One table has few
         # delete files relative to data files (they're compacted away by
@@ -351,8 +357,15 @@ def _commit_paths(spark, table_dir, paths, mode, schema_ddl, store,
                   stats_cols=None) -> int:
     prev_files: list[dict] = []
     prev_deletes: list[dict] = []
+    prev = (store.read_json(_manifest_path(table_dir, snaps[-1]))
+            if snaps else None)
+    if stats_cols is None and prev is not None:
+        # inherit the table's persisted pruning contract: a table
+        # committed with stats_cols keeps capturing per-file stats on
+        # every later append/replace, so file skipping never silently
+        # degrades to keep-all after a commit that forgot the list
+        stats_cols = prev.get("stats_cols")
     if snaps and mode == "append":
-        prev = store.read_json(_manifest_path(table_dir, snaps[-1]))
         prev_files = _manifest_files(table_dir, prev, store)
         # append commits carry live equality-delete files forward;
         # replace is a clean slate (the new file set IS the table)
@@ -370,7 +383,7 @@ def _commit_paths(spark, table_dir, paths, mode, schema_ddl, store,
     _write_manifest(
         spark, table_dir, new_id, snaps[-1] if snaps else None, mode,
         schema_ddl, prev_files + new_files, store, shard_threshold,
-        deletes=prev_deletes)
+        deletes=prev_deletes, stats_cols=stats_cols)
     return new_id
 
 
@@ -484,7 +497,8 @@ def commit_deletes(
         {"path": ddir, "key_cols": list(key_cols), "seq": new_id}]
     _write_manifest(spark, table_dir, new_id, snaps[-1], "delete",
                     prev["schema_ddl"], prev_files, store,
-                    shard_threshold, deletes=deletes)
+                    shard_threshold, deletes=deletes,
+                    stats_cols=prev.get("stats_cols"))
     return new_id
 
 
@@ -495,6 +509,7 @@ def commit_upsert(
     key_cols: list[str],
     store: FileStore | None = None,
     shard_threshold: int = SHARD_THRESHOLD,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Atomic UPSERT (MERGE) commit — the Iceberg ``MERGE INTO`` shape,
     and the lakehouse form of the reference's Add/Update instruction
@@ -511,7 +526,8 @@ def commit_upsert(
     snaps = list_snapshots(table_dir, store)
     if not snaps:
         return commit_snapshot(spark, df, table_dir, store=store,
-                               shard_threshold=shard_threshold)
+                               shard_threshold=shard_threshold,
+                               stats_cols=stats_cols)
     new_id = snaps[-1] + 1
     df = df.localCheckpoint(eager=False)  # consumed twice (keys + data)
     # both artifacts land BEFORE the atomic manifest pointer
@@ -526,14 +542,22 @@ def commit_upsert(
     paths = [posixpath.join(data_dir, name) for name in listed]
     prev = store.read_json(_manifest_path(table_dir, snaps[-1]))
     prev_files = _manifest_files(table_dir, prev, store)
-    stats = _footer_stats(spark, paths)
-    new_files = [{"path": p, "rows": stats[p], "added": new_id}
-                 for p in paths]
+    if stats_cols is None:
+        stats_cols = prev.get("stats_cols")
+    if stats_cols:
+        stats = _footer_stats(spark, paths, stats_cols)
+        new_files = [{"path": p, "rows": stats[p][0], "added": new_id,
+                      "stats": stats[p][1]} for p in paths]
+    else:
+        stats = _footer_stats(spark, paths)
+        new_files = [{"path": p, "rows": stats[p], "added": new_id}
+                     for p in paths]
     deletes = prev.get("deletes", []) + [
         {"path": ddir, "key_cols": list(key_cols), "seq": new_id}]
     _write_manifest(spark, table_dir, new_id, snaps[-1], "upsert",
                     prev["schema_ddl"], prev_files + new_files, store,
-                    shard_threshold, deletes=deletes)
+                    shard_threshold, deletes=deletes,
+                    stats_cols=stats_cols)
     return new_id
 
 
@@ -632,14 +656,32 @@ def snapshot_files(table_dir: str, snapshot_id: int | None = None,
 def _stats_overlap(st: dict | None, column: str, lo, hi) -> bool:
     """True when the file MAY contain rows with ``column`` in
     [lo, hi] — i.e. keep it. Missing stats keep the file: pruning is
-    planning, never a correctness filter."""
+    planning, never a correctness filter. Stats and bounds are coerced
+    under the BOUND's type (the same rule the sharded path's ``cast``
+    applies); values that won't coerce — or types Python can't
+    compare — KEEP the file, so pruning degrades to not-pruning,
+    never to a TypeError."""
     s = (st or {}).get(column)
     if not s or s.get("min") is None or s.get("max") is None:
         return True
-    if lo is not None and s["max"] < lo:
-        return False
-    if hi is not None and s["min"] > hi:
-        return False
+    bound = lo if lo is not None else hi
+
+    def co(v):
+        if isinstance(bound, str):
+            return str(v)
+        if isinstance(bound, bool):
+            return bool(v)
+        if isinstance(bound, (int, float)):
+            return float(v)
+        return v
+
+    try:
+        if lo is not None and co(s["max"]) < co(lo):
+            return False
+        if hi is not None and co(s["min"]) > co(hi):
+            return False
+    except (TypeError, ValueError):
+        return True
     return True
 
 
@@ -999,11 +1041,24 @@ def encode_table_incremental(
     # merge-on-read) as one wave and atomically REPLACE the wave list,
     # mirroring the table's own replace; superseded versions become
     # expire_encoded_versions fodder.
+    if smap.get("source") == "stream":
+        raise ValueError(
+            f"stage {stage!r} is stream-sourced: its snapshot map records "
+            "batch ordinals, not table snapshot ids, so a table-diff wave "
+            "would plan a garbage diff. Encode the table into a separate "
+            "stage (streamed stores have no table-snapshot baseline).")
     rebase = False
     if last_snap is not None:
         sid = latest
         while sid is not None and sid != last_snap:
-            m = store.read_json(_manifest_path(table_dir, sid))
+            mp = _manifest_path(table_dir, sid)
+            if not store.exists(mp):
+                # an expired link: the chain back to the covered snapshot
+                # is gone (expire_snapshots deleted the manifest), so the
+                # append-only proof can't be made ⇒ REBASE, per contract
+                rebase = True
+                break
+            m = store.read_json(mp)
             # delete entries CARRIED FORWARD by appends (seq ≤
             # last_snap) are already reflected in the covered store (the
             # wave that advanced coverage past them rebased then); only
@@ -1026,7 +1081,8 @@ def encode_table_incremental(
             # the table was replaced/merged down to zero rows: the store
             # must forget its waves, not keep stale ones
             store.write_json_atomic(
-                map_path, {"waves": [], "covered": latest})
+                map_path,
+                {"waves": [], "covered": latest, "source": "table"})
             return {"version": 0, "snapshot": latest, "rows": 0}
         # a newer snapshot with no new rows (empty table, empty append,
         # replace with identical files): advance the covered-snapshot
@@ -1035,6 +1091,7 @@ def encode_table_incremental(
             waves[-1]["snapshot"] = latest
         else:
             smap["covered"] = latest
+        smap["source"] = "table"
         store.write_json_atomic(map_path, smap)
         return ({**waves[-1], "rows": 0} if waves
                 else {"version": 0, "snapshot": latest, "rows": 0})
@@ -1063,6 +1120,7 @@ def encode_table_incremental(
         smap.pop("covered", None)
     else:
         waves.append(wave)
+    smap["source"] = "table"
     store.write_json_atomic(_snapshot_map_path(enc_root, stage), smap)
     return {**smap["waves"][-1], "rows": int(n_rows)}
 

@@ -103,6 +103,19 @@ def stream_into_encoded_store(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        st = store or LocalStore()
+        map_path = _snapshot_map_path(enc_root, stage)
+        smap = (st.read_json(map_path) if st.exists(map_path)
+                else {"waves": []})
+        # refuse BEFORE encoding: batch-ordinal versions would collide
+        # with the table waves' version counter, so the check must beat
+        # the first byte written, not just the map commit
+        if smap.get("source") == "table":
+            raise ValueError(
+                f"stage {stage!r} is table-sourced (encode_table_"
+                "incremental maintains it): streaming batch ordinals "
+                "into its snapshot map would corrupt the diff baseline. "
+                "Use a separate stage.")
         # version is the batch ordinal, so a replayed batch re-enters
         # ITS OWN version and resumes from the slice manifests
         version = int(batch_id) + 1
@@ -111,15 +124,15 @@ def stream_into_encoded_store(
             root=enc_root, stage=stage, version=version,
             sort_cols=sort_cols, n_slices=n_slices,
             input_fingerprint=f"stream-batch-{batch_id}", **encode_kw)
-        st = store or LocalStore()
-        map_path = _snapshot_map_path(enc_root, stage)
-        smap = (st.read_json(map_path) if st.exists(map_path)
-                else {"waves": []})
         if all(int(w["version"]) != version for w in smap["waves"]):
             smap["waves"] = sorted(
                 smap["waves"] + [{"version": version,
                                   "snapshot": int(batch_id)}],
                 key=lambda w: int(w["version"]))
+            # the marker encode_table_incremental REFUSES on — this
+            # map's "snapshot" values are batch ordinals, not table
+            # snapshot ids (same shape, incompatible meaning)
+            smap["source"] = "stream"
             st.write_json_atomic(map_path, smap)
 
     return (

@@ -909,3 +909,181 @@ def test_file_skipping_sharded_manifest(spark, tmp_path):
     got = read_snapshot_where(spark, t2, "k", lo="k0100", hi="k0199",
                               cast="string")
     assert got.count() == 100
+
+
+def test_expired_manifest_link_triggers_rebase(spark, tmp_path):
+    """expire_snapshots can delete manifests BETWEEN the encode store's
+    covered snapshot and the latest one; the incremental wave's
+    append-only chain walk must treat the broken link as 'cannot prove
+    append-only' and REBASE (per its documented contract) instead of
+    raising FileNotFoundError."""
+    import hashlib
+
+    from parquet_producers_spark.encoder import decode_chunks
+    from parquet_producers_spark.sources.snapshots import (
+        encode_table_incremental,
+        expire_snapshots,
+        read_encoded_table,
+    )
+
+    t = str(tmp_path / "tbl")
+    enc = str(tmp_path / "enc")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(60)], "id int, v string")
+    commit_snapshot(spark, df.filter("id < 20").coalesce(1), t)
+    w1 = encode_table_incremental(spark, t, enc, "code",
+                                  sort_cols=["id"], n_slices=1)
+    assert w1["version"] == 1
+    # two more commits, then expire everything but the latest — the
+    # chain from latest back to the covered snapshot is now broken
+    commit_snapshot(spark, df.filter("id >= 20 and id < 40").coalesce(1),
+                    t, mode="append")
+    commit_snapshot(spark, df.filter("id >= 40").coalesce(1),
+                    t, mode="append")
+    expire_snapshots(t, keep_last=1)
+
+    w2 = encode_table_incremental(spark, t, enc, "code",
+                                  sort_cols=["id"], n_slices=1)
+    assert w2["rows"] == 60  # rebase = full current view, one wave
+
+    def digest(frame):
+        h = hashlib.sha256()
+        for r in frame.orderBy("id").collect():
+            h.update(f"{r.id}:{r.v};".encode())
+        return h.hexdigest()
+
+    decoded = decode_chunks(read_encoded_table(spark, enc, "code"),
+                            ordered=False)
+    assert digest(decoded) == digest(read_snapshot(spark, t))
+
+
+def test_stream_table_snapshot_map_mix_refused(spark, tmp_path):
+    """A stream-filled stage records BATCH ORDINALS in its snapshot
+    map; pointing encode_table_incremental at it would read an ordinal
+    as a table snapshot id and plan a garbage diff — the wave must
+    refuse. Symmetrically, streaming into a table-maintained stage must
+    refuse before corrupting the diff baseline."""
+    import os
+
+    from parquet_producers_spark.sources.snapshots import (
+        encode_table_incremental,
+    )
+    from parquet_producers_spark.streaming.incremental import (
+        stream_into_encoded_store,
+    )
+
+    in_dir = str(tmp_path / "in")
+    enc = str(tmp_path / "enc")
+    os.makedirs(in_dir)
+    spark.createDataFrame(
+        [(i, f"w{i}") for i in range(30)], "doc_id int, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(in_dir + "/f1")
+    stream = spark.readStream.schema("doc_id int, text string") \
+        .parquet(in_dir + "/*")
+    q = stream_into_encoded_store(
+        stream, enc, "docs", sort_cols=["doc_id"],
+        checkpoint=str(tmp_path / "ckpt"), n_slices=1, chunk_rows=16)
+    q.awaitTermination(120)
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(spark, spark.createDataFrame(
+        [(1, "x")], "doc_id int, text string"), t)
+    with pytest.raises(ValueError, match="stream-sourced"):
+        encode_table_incremental(spark, t, enc, "docs",
+                                 sort_cols=["doc_id"], n_slices=1)
+
+    # reverse direction: table-maintained stage refuses a stream
+    enc2 = str(tmp_path / "enc2")
+    encode_table_incremental(spark, t, enc2, "docs",
+                             sort_cols=["doc_id"], n_slices=1)
+    stream2 = spark.readStream.schema("doc_id int, text string") \
+        .parquet(in_dir + "/*")
+    q2 = stream_into_encoded_store(
+        stream2, enc2, "docs", sort_cols=["doc_id"],
+        checkpoint=str(tmp_path / "ckpt2"), n_slices=1, chunk_rows=16)
+    with pytest.raises(Exception, match="table-sourced"):
+        q2.awaitTermination(120)
+
+
+def test_stats_overlap_mixed_types_keep_not_raise(spark, tmp_path):
+    """File skipping with bounds of a DIFFERENT type than the stored
+    stats must degrade to not-pruning (keep the file), never raise:
+    int bounds against string stats coerce under the bound's type when
+    possible and keep the file when not."""
+    from parquet_producers_spark.sources.snapshots import (
+        _stats_overlap,
+        read_snapshot_where,
+        snapshot_files_pruned,
+    )
+
+    # unit: numeric-string stats coerce under an int bound
+    assert _stats_overlap({"c": {"min": "100", "max": "200"}},
+                          "c", 150, 300)
+    assert not _stats_overlap({"c": {"min": "100", "max": "200"}},
+                              "c", 500, None)
+    # unit: non-numeric string stats against int bounds → KEEP
+    assert _stats_overlap({"c": {"min": "abc", "max": "xyz"}},
+                          "c", 100, 200)
+    # unit: int stats against a string bound compare as strings
+    assert _stats_overlap({"c": {"min": 5, "max": 9}}, "c", "5", "9")
+
+    # integration: string-typed column committed with stats, pruned
+    # with int bounds — wrong-typed bounds must return every matching
+    # row (files kept), not raise
+    t = str(tmp_path / "tbl")
+    commit_snapshot(
+        spark,
+        spark.createDataFrame(
+            [(f"{i:04d}", i) for i in range(200)], "k string, n int")
+        .repartitionByRange(4, "k").sortWithinPartitions("k"),
+        t, stats_cols=["k"])
+    kept = snapshot_files_pruned(spark, t, "k", lo=100, hi=199)
+    assert len(kept) >= 1  # never raises; lexicographic "0100" keeps some
+    got = read_snapshot_where(spark, t, "k", lo="0100", hi="0199",
+                              cast="string")
+    assert got.count() == 100
+
+
+def test_upsert_and_rewrite_preserve_stats_cols(spark, tmp_path):
+    """stats_cols is the table's persisted pruning contract: files
+    written by a MERGE upsert (no stats_cols argument) and by the
+    rewrite_deletes replace must still carry per-file min/max, so file
+    skipping never silently degrades after maintenance."""
+    from parquet_producers_spark.sources.snapshots import (
+        commit_upsert,
+        read_snapshot_where,
+        rewrite_deletes,
+        snapshot_files_pruned,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(
+        spark,
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(400)], "id int, v string")
+        .repartitionByRange(4, "id").sortWithinPartitions("id"),
+        t, stats_cols=["id"])
+
+    # MERGE without re-passing stats_cols: new files still get stats
+    commit_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(i, f"u{i}") for i in range(350, 450)], "id int, v string")
+        .repartitionByRange(2, "id").sortWithinPartitions("id"),
+        key_cols=["id"])
+    files = snapshot_files(t)
+    assert all(f.get("stats", {}).get("id") for f in files)
+    pruned = snapshot_files_pruned(spark, t, "id", lo=420, hi=449)
+    assert 0 < len(pruned) < len(files)
+    assert read_snapshot_where(spark, t, "id", lo=420, hi=449) \
+        .count() == 30
+
+    # rewrite_deletes' replace commit inherits the contract too
+    rewrite_deletes(spark, t)
+    files2 = snapshot_files(t)
+    assert all(f.get("stats", {}).get("id") for f in files2)
+    pruned2 = snapshot_files_pruned(spark, t, "id", lo=0, hi=49)
+    assert 0 < len(pruned2) < len(files2)
+    got = read_snapshot_where(spark, t, "id", lo=440, hi=449)
+    assert sorted(r.v for r in got.collect()) == \
+        sorted(f"u{i}" for i in range(440, 450))
