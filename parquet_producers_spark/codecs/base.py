@@ -121,6 +121,10 @@ def decode_array(data: bytes, params: dict[str, Any]) -> pa.Array:
     child_params = dict(params)
     child_params["n"] = params["nv"]
     values = dec(data, child_params)
+    if len(values) == 0:
+        # all-null chunk: nothing to take from (index 0 would be out of
+        # bounds on the empty values array)
+        return pa.nulls(n, type=values.type)
     # re-expand compacted values to full length with nulls
     import pyarrow.compute as pc
 

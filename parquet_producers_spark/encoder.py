@@ -163,10 +163,22 @@ def bloom_may_contain(params_json: str, value) -> bool:
 def _encode_chunk(tbl: pa.Table, pid: int, seq: int, cascade: bool,
                   key_col: str | None = None,
                   profile: str = "size") -> pa.RecordBatch:
-    # per-chunk zone map on the leading sort key → chunk pruning on read
+    # per-chunk zone map on the leading sort key → chunk pruning on read.
+    # Zones cover NON-NULL keys only (str(None) would poison string
+    # comparisons with the literal "None"); null keys are counted into
+    # params["key_nulls"] so the sorted-merge read can route them to the
+    # first (unbounded-low) range deterministically. An all-null chunk
+    # has null zones + a nonzero count — distinguishable from a keyless
+    # encode, whose params carry no key_nulls at all.
+    key_nulls = None
     if key_col is not None and tbl.num_rows:
         kc = tbl.column(key_col)
-        key_min, key_max = str(kc[0].as_py()), str(kc[-1].as_py())
+        key_nulls = kc.null_count
+        nn = kc.drop_null() if key_nulls else kc
+        if len(nn):
+            key_min, key_max = str(nn[0].as_py()), str(nn[-1].as_py())
+        else:
+            key_min = key_max = None
     else:
         key_min = key_max = None
     names, codecs, params_l, nrows_l, raw_l, enc_l, blobs = [], [], [], [], [], [], []
@@ -178,6 +190,11 @@ def _encode_chunk(tbl: pa.Table, pid: int, seq: int, cascade: bool,
                                            profile=profile)
         params["atype"] = str(arr.type)
         params["stats"] = stats.as_dict()
+        if key_nulls is not None:
+            # replicated onto every column row (all of a chunk's rows
+            # travel together), so any consumer can read it without
+            # singling out the key column's row
+            params["key_nulls"] = int(key_nulls)
         bloom = _bloom_build(arr, n_distinct=stats.n_distinct)
         if bloom is not None:
             params["bloom"], params["bloom_m"] = bloom

@@ -12,14 +12,20 @@ maps (``key_min``/``key_max``, written by every encode) already
 describe where each sorted run's chunks live, so globally ordered
 output needs no sampling and no global sort —
 
-1. **Plan** (driver, metadata only): distinct chunk zones → ``R``
-   DISJOINT key ranges cut at chunk boundaries, weighted by row counts
-   (the same planning input Spark's range partitioner must sample a
-   data pass to estimate).
+1. **Plan** (metadata only): distinct chunk zones → ``R`` DISJOINT key
+   ranges cut at chunk boundaries, weighted by row counts (the same
+   planning input Spark's range partitioner must sample a data pass to
+   estimate). Small stores cut on the driver; past
+   ``plan_collect_threshold`` chunks the cut selection runs as a Spark
+   job over the zone frame (partition-prefix-sum → row-weighted
+   quantile buckets) and only the ~R cut values are collected — the
+   driver never holds O(chunks) anything, the same discipline the
+   manifest tree applies to file lists.
 2. **Assign**: each chunk joins (broadcast) every range its zone
    overlaps — after consolidation runs are disjoint and the fan-out is
    ~1; overlapping incremental waves are where the merge actually
-   merges.
+   merges. Chunks holding NULL keys additionally join the first range,
+   which is where null rows live (Spark's asc-nulls-first order).
 3. **Decode + exact filter + merge, one task per range**: the group
    key IS the range, so each task receives every chunk its range
    overlaps (compressed bytes — the ONLY shuffle in the plan), decodes
@@ -41,10 +47,12 @@ one range decodes inside one task, so size ``n_ranges`` such that
 planner balances ranges by row count; ``n_ranges`` may exceed core
 count freely).
 
-Ordering contract: zones compare as STRINGS (they are ``str()`` of the
-key — encoder.py:169), so the produced order is the key's string
-order. Use string keys (the north-rule corpus sorts on repo/path
-strings) or zero-pad numerics.
+Ordering contract: zones are STORED as strings but COMPARE under the
+key's own type (numeric keys plan, assign, filter, and sort
+numerically — no zero-padding contract); rows with NULL keys sort
+first, inside the first range, matching Spark's asc-nulls-first
+default. Types without a lossless string round-trip fall back to
+string order (documented in :func:`_zone_sql_type`).
 """
 
 from __future__ import annotations
@@ -52,6 +60,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .encoder import CHUNK_ARROW_SCHEMA, _arrow_type, _spark_type
+
+# Above this many chunks, cut selection runs distributed (see
+# plan_key_ranges). Mirrors the inline-vs-sharded manifest threshold
+# pattern: small metadata plans on the driver, big metadata plans as
+# Spark jobs with O(R) collected.
+PLAN_COLLECT_THRESHOLD = 32768
+
+# rows most recently materialized onto the driver by plan_key_ranges —
+# pinned by tests to prove planning collects O(ranges), not O(chunks)
+LAST_PLAN_COLLECTED = 0
 
 
 def _ident_cols(chunks: DataFrame) -> list[str]:
@@ -62,41 +80,149 @@ def _ident_cols(chunks: DataFrame) -> list[str]:
     return layout + ["part_id", "chunk_seq"]
 
 
+def _zone_sql_type(key_spark_type: str) -> str | None:
+    """The SQL type zone STRINGS compare under for a key of this Spark
+    type; ``None`` → compare as strings (string keys, or types without
+    a guaranteed lossless ``str()`` round-trip)."""
+    t = key_spark_type.lower()
+    if t in ("long", "bigint", "int", "integer", "short", "smallint",
+             "tinyint", "byte"):
+        return "bigint"
+    if t in ("double", "float", "real"):
+        return "double"
+    if t in ("date", "boolean", "timestamp", "timestamp_ntz") \
+            or t.startswith("decimal"):
+        return t
+    return None
+
+
+def _key_nulls_col():
+    # written by every keyed encode (encoder._encode_chunk) onto each
+    # column row's params; absent (keyless/legacy store) reads as 0
+    return F.coalesce(
+        F.get_json_object("params", "$.key_nulls").cast("long"), F.lit(0))
+
+
 def plan_key_ranges(
     chunks: DataFrame,
     n_ranges: int | None = None,
-) -> list[tuple[str | None, str | None]]:
-    """Cut the key space into ``n_ranges`` half-open ranges
-    ``[lo, hi)`` (``None`` = unbounded) from the chunk table's zone
-    maps — a driver-side pass over CHUNK METADATA (one row per chunk,
-    no blobs, no data), cut points at chunk ``key_min`` boundaries and
-    weighted by per-chunk row counts so ranges balance even when runs
-    overlap or skew."""
+    key_type: str | None = None,
+    plan_collect_threshold: int = PLAN_COLLECT_THRESHOLD,
+) -> list[tuple]:
+    """Cut the key space into ``n_ranges`` half-open ranges ``[lo, hi)``
+    (``None`` = unbounded) from the chunk table's zone maps — cut
+    points at chunk ``key_min`` boundaries, weighted by per-chunk row
+    counts so ranges balance even when runs overlap or skew.
+    ``key_type`` is the SQL type zones compare under (from
+    :func:`_zone_sql_type`; ``None`` = string order).
+
+    Planning is METADATA only (one row per chunk, no blobs) and its
+    driver footprint is O(ranges): up to ``plan_collect_threshold``
+    chunks the zone rows come to the driver directly (they're small by
+    construction — the inline-manifest regime); past it, cut selection
+    runs as a Spark job — per-partition row sums (collects one row per
+    partition) seed a partition-prefix cumulative sum, every zone maps
+    to its row-weighted quantile bucket ``k = cum_rows // step``, and
+    only the first zone boundary of each bucket (≤ R values) is
+    collected. The same wall the manifest tree and distributed
+    diff/vacuum removed: never hold one row per planned object on the
+    driver."""
+    global LAST_PLAN_COLLECTED
+    spark = chunks.sparkSession
     ident = _ident_cols(chunks)
+    cast_t = key_type or "string"
     zones = (
         chunks.groupBy(*ident)
-        .agg(F.first("key_min").alias("mn"),
-             F.first("key_max").alias("mx"),
-             F.first("n_rows").alias("rows"))
-        .collect()
+        .agg(F.first("key_min").cast(cast_t).alias("mn"),
+             F.first("key_max").cast(cast_t).alias("mx"),
+             F.first("key_min").isNotNull().alias("zoned"),
+             F.first("n_rows").alias("rows"),
+             F.max(_key_nulls_col()).alias("knulls"))
+        # planning runs 2-3 jobs over this frame; pin it so an
+        # encode-in-plan upstream computes once, not per job
+        .localCheckpoint(eager=False)
     )
-    if any(z["mn"] is None for z in zones) or not zones:
+    head = zones.agg(
+        F.count("*").alias("n"),
+        F.sum("rows").alias("total"),
+        # zone absent entirely — a keyless encode (key_nulls missing
+        # AND key_min null): unplannable
+        F.sum(F.when(~F.col("zoned") & (F.col("knulls") == 0), 1)
+              .otherwise(0)).alias("keyless"),
+        # zone present as a string but not castable under key_type —
+        # refuse rather than silently mis-assign the chunk
+        F.sum(F.when(F.col("zoned") & F.col("mn").isNull(), 1)
+              .otherwise(0)).alias("uncastable"),
+    ).first()
+    LAST_PLAN_COLLECTED = 1
+    if not head["n"]:
         raise ValueError(
             "sorted read needs key zones on every chunk — "
             "encode with a key_col")
-    zones.sort(key=lambda z: (z["mn"], z["mx"]))
-    total = sum(z["rows"] for z in zones)
+    if head["keyless"]:
+        raise ValueError(
+            f"{head['keyless']} chunk(s) carry no key zone — "
+            "encode with a key_col")
+    if head["uncastable"]:
+        raise ValueError(
+            f"{head['uncastable']} chunk zone(s) do not parse as "
+            f"{cast_t} — the store's key type disagrees with the "
+            "requested comparison type")
+    total = int(head["total"])
     r = n_ranges or max(1, min(
-        len(zones),
-        int(chunks.sparkSession.conf.get("spark.sql.shuffle.partitions"))))
-    cuts: list[str] = []
-    cum = 0
-    nxt = total / r
-    for z in zones[1:]:
-        cum += z["rows"]
-        if cum >= nxt and (not cuts or z["mn"] > cuts[-1]):
-            cuts.append(z["mn"])
-            nxt = cum + total / r
+        int(head["n"]),
+        int(spark.conf.get("spark.sql.shuffle.partitions"))))
+    step = total / r
+
+    if int(head["n"]) <= plan_collect_threshold:
+        rows = zones.select("mn", "mx", "rows").collect()
+        LAST_PLAN_COLLECTED += len(rows)
+        # nulls (all-null-key chunks) order first — they live in the
+        # first range, so their weight fronts the cumulative sum
+        rows.sort(key=lambda z: ((z["mn"] is not None),
+                                 z["mn"] if z["mn"] is not None else 0,
+                                 z["mx"] if z["mx"] is not None else 0))
+        cuts, cum, seen = [], 0, set()
+        for z in rows:
+            k = int(cum // step)
+            if k >= 1 and k not in seen and z["mn"] is not None:
+                seen.add(k)
+                cuts.append(z["mn"])
+            cum += z["rows"]
+    else:
+        from pyspark.sql import Window
+
+        order = [F.col("mn").asc_nulls_first(), F.col("mx").asc_nulls_first()]
+        part = (zones.repartitionByRange(
+                    int(spark.conf.get("spark.sql.shuffle.partitions")),
+                    *order)
+                .withColumn("pid", F.spark_partition_id())
+                .localCheckpoint(eager=False))
+        psums = part.groupBy("pid").agg(F.sum("rows").alias("prows")) \
+            .orderBy("pid").collect()
+        LAST_PLAN_COLLECTED += len(psums)
+        offs, acc = {}, 0
+        for p in psums:
+            offs[int(p["pid"])] = acc
+            acc += int(p["prows"])
+        odf = spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offs.items()],
+            schema="pid int, off long")
+        w = (Window.partitionBy("pid").orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, -1))
+        cum_excl = (F.coalesce(F.sum("rows").over(w), F.lit(0))
+                    + F.col("off"))
+        cut_rows = (
+            part.join(F.broadcast(odf), "pid")
+            .withColumn("k", F.floor(cum_excl / F.lit(step)))
+            .filter((F.col("k") >= 1) & F.col("mn").isNotNull())
+            .groupBy("k").agg(F.min("mn").alias("cut"))
+            .collect()
+        )
+        LAST_PLAN_COLLECTED += len(cut_rows)
+        cuts = [c["cut"] for c in cut_rows]
+
+    cuts = sorted(set(cuts))
     bounds = [None] + cuts + [None]
     return [(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)]
 
@@ -106,9 +232,10 @@ def read_sorted(
     key: str,
     n_ranges: int | None = None,
 ) -> DataFrame:
-    """Decode the chunk store globally ordered by ``key``'s string
-    order WITHOUT a total sort: zone-planned ranges, per-range decode +
-    exact bounds, one hash shuffle on ``range_id``, local sort.
+    """Decode the chunk store globally ordered by ``key`` (under the
+    key's own type; null keys first) WITHOUT a total sort: zone-planned
+    ranges, per-range decode + exact bounds, one hash shuffle on
+    ``range_id``, local sort.
 
     Returns the decoded columns plus ``range_id``; within every output
     partition rows are physically sorted by ``(range_id, key)`` and
@@ -123,39 +250,13 @@ def read_sorted(
     rows never shuffle. Each range decodes + merges wholly inside its
     group task, then ``sortWithinPartitions`` orders without an
     exchange (ranges are already whole in their partition)."""
-    import pandas as pd
-
-    spark = chunks.sparkSession
-    # plan_key_ranges raises on any zone-less chunk — the null guard
-    # rides the same metadata job instead of paying its own
-    ranges = plan_key_ranges(chunks, n_ranges)
-    ident = _ident_cols(chunks)
-
-    # assignment = broadcast theta-join of the chunk rows against the
-    # tiny range list on zone overlap (chunk [key_min,key_max] ∩ range
-    # [lo,hi), string order) — no driver-side fan-out, so the plan
-    # holds at any chunk count
-    rdf = spark.createDataFrame(
-        pd.DataFrame({"range_id": range(len(ranges)),
-                      "lo": [r[0] for r in ranges],
-                      "hi": [r[1] for r in ranges]}),
-        schema="range_id int, lo string, hi string")
-    fat = chunks.join(
-        F.broadcast(rdf),
-        (F.col("lo").isNull() | (F.col("key_max") >= F.col("lo")))
-        & (F.col("hi").isNull() | (F.col("key_min") < F.col("hi"))),
-        "inner")
-
-    # group-decode per RANGE: the group key is (range_id, bounds), so
-    # the groupBy's hash exchange — the plan's only shuffle — moves the
-    # compressed blobs of each range onto one task, which reassembles
-    # every overlapping chunk, bound-filters, and concatenates the runs
     import json
 
     import pyarrow as pa
 
-    from .encoder import decode_array
+    from .encoder import decode_array, emit_schema
 
+    spark = chunks.sparkSession
     heads = (
         chunks.groupBy("col_idx", "column")
         .agg(F.first("params").alias("params"))
@@ -166,15 +267,47 @@ def read_sorted(
         pa.field(r["column"], _arrow_type(json.loads(r["params"])["atype"]))
         for r in heads
     ]
-    from .encoder import emit_schema
-
     col_names = [f.name for f in fields]
+    if key not in col_names:
+        raise ValueError(f"key column {key!r} not in store ({col_names})")
+    key_arrow = dict(zip(col_names, fields))[key].type
+    zone_t = _zone_sql_type(_spark_type(key_arrow))
+    # zone_t None → string comparison (identical plan; the decode task
+    # casts the key to string for the exact bound filter)
+    ranges = plan_key_ranges(chunks, n_ranges, key_type=zone_t)
+    ident = _ident_cols(chunks)
+
+    # assignment = broadcast theta-join of the chunk rows against the
+    # tiny range list on zone overlap (chunk [key_min,key_max] ∩ range
+    # [lo,hi), under the key's type) — no driver-side fan-out, so the
+    # plan holds at any chunk count. Chunks carrying null keys join the
+    # first range too: that's where their null rows land.
+    lohi_t = zone_t or "string"
+    rdf = spark.createDataFrame(
+        [(i, r[0], r[1]) for i, r in enumerate(ranges)],
+        schema=f"range_id int, lo {lohi_t}, hi {lohi_t}")
+    kmin = F.col("key_min").cast(lohi_t)
+    kmax = F.col("key_max").cast(lohi_t)
+    overlap = (
+        kmin.isNotNull()
+        & (F.col("lo").isNull() | (kmax >= F.col("lo")))
+        & (F.col("hi").isNull() | (kmin < F.col("hi")))
+    )
+    null_leg = F.col("lo").isNull() & (_key_nulls_col() > 0)
+    fat = chunks.join(F.broadcast(rdf), overlap | null_leg, "inner")
+
+    # group-decode per RANGE: the group key is (range_id, bounds), so
+    # the groupBy's hash exchange — the plan's only shuffle — moves the
+    # compressed blobs of each range onto one task, which reassembles
+    # every overlapping chunk, bound-filters, and concatenates the runs
     data_schema = pa.schema(fields)
     out_schema = pa.schema([pa.field("range_id", pa.int32())] + fields)
     out_emit = emit_schema(list(out_schema))
     spark_schema = ", ".join(
         ["range_id int"]
         + [f"{f.name} {_spark_type(f.type)}" for f in fields])
+    as_string = zone_t is None and not pa.types.is_string(key_arrow) \
+        and not pa.types.is_large_string(key_arrow)
 
     def dec(gkey, tin):
         # ARROW-NATIVE grouped decode (applyInArrow): blobs arrive and
@@ -197,6 +330,7 @@ def read_sorted(
                 tuple(_py(c[i]) for c in ident_cols), []).append(i)
         colc, datac, parc = (tin.column("column"), tin.column("data"),
                              tin.column("params"))
+        cmp_t = pa.string() if as_string else key_arrow
         tables = []
         for rows in by_chunk.values():
             arrays = {
@@ -206,15 +340,21 @@ def read_sorted(
             }
             tbl = pa.table([arrays[c] for c in col_names],
                            schema=data_schema)
-            ks = pc.cast(tbl.column(key), pa.string())
-            mask = None
+            ks = tbl.column(key)
+            if as_string:
+                ks = pc.cast(ks, pa.string())
+            # exact half-open bounds under the key's type; null keys
+            # survive ONLY in the first (lo=None) range — a bounded
+            # range's >= comparison nulls them out and Arrow's filter
+            # drops null-mask rows, deterministically at every n_ranges
             if lo is not None:
-                mask = pc.greater_equal(ks, lo)
-            if hi is not None:
-                m = pc.less(ks, hi)
-                mask = m if mask is None else pc.and_(mask, m)
-            if mask is not None:
+                mask = pc.greater_equal(ks, pa.scalar(lo, cmp_t))
+                if hi is not None:
+                    mask = pc.and_(mask, pc.less(ks, pa.scalar(hi, cmp_t)))
                 tbl = tbl.filter(mask)
+            elif hi is not None:
+                tbl = tbl.filter(pc.or_kleene(
+                    pc.is_null(ks), pc.less(ks, pa.scalar(hi, cmp_t))))
             if tbl.num_rows:
                 tables.append(tbl)
         data = (pa.concat_tables(tables) if tables
@@ -229,7 +369,10 @@ def read_sorted(
     # partition-local sort, NO exchange: every range is whole inside
     # its group's partition, so (range_id, key) order within partitions
     # + range tiling = global key order across ranges in id order
-    return out.sortWithinPartitions("range_id", F.col(key).cast("string"))
+    # (asc_nulls_first — nulls only exist in range 0)
+    sort_key = (F.col(key).cast("string") if as_string
+                else F.col(key)).asc_nulls_first()
+    return out.sortWithinPartitions("range_id", sort_key)
 
 
 def write_sorted(

@@ -230,3 +230,29 @@ def test_linedict_wins_on_code():
     from parquet_producers_spark.codecs import choose_codec
 
     assert choose_codec(arr).codec == "linedict"
+
+
+def test_all_null_chunk_roundtrip():
+    """An all-null column chunk (e.g. a run of null sort keys) must
+    round-trip: the validity re-expansion can't take from the empty
+    values array."""
+    import json
+
+    import pyarrow as pa
+
+    from parquet_producers_spark.encoder import (
+        column_stats,
+        decode_array,
+        encode_auto,
+    )
+
+    for typ in (pa.string(), pa.int64(), pa.float64(), pa.bool_()):
+        arr = pa.array([None] * 200, typ)
+        for profile in ("fast", "size"):
+            for cascade in (False, True):
+                _, blob, params = encode_auto(
+                    arr, column_stats(arr), cascade=cascade, profile=profile)
+                params["atype"] = str(arr.type)
+                out = decode_array(blob, json.loads(json.dumps(params)))
+                assert (len(out) == 200 and out.null_count == 200
+                        and out.type == typ)

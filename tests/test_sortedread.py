@@ -158,3 +158,145 @@ def test_write_sorted_layout(spark, tmp_path):
             prev_hi = ks[-1]
         total += len(ks)
     assert total == 1500
+
+
+def test_read_sorted_integer_keys_numeric_order(spark):
+    """Typed key zones: raw integer keys plan, assign, filter, and sort
+    NUMERICALLY — no zero-padding contract. (String zones would order
+    "10" < "2"; the round-5 module documented that trap instead of
+    removing it.)"""
+    import pyarrow as pa
+
+    d = spark.range(3000).select(
+        ((F.col("id") * 37) % 3000).alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("v"))
+    chunks = encode_partitions(
+        d, sort_cols=["k"], partitions=5, chunk_rows=200, profile="fast")
+    out = read_sorted(chunks, "k", n_ranges=6)
+
+    def tag(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seq = 0
+        for b in batches:
+            yield pa.record_batch(
+                [pa.array([pid] * b.num_rows, pa.int32()),
+                 pa.array(range(seq, seq + b.num_rows), pa.int64()),
+                 b.column(b.schema.get_field_index("range_id")),
+                 b.column(b.schema.get_field_index("k"))],
+                names=["pid", "pos", "range_id", "k"])
+            seq += b.num_rows
+
+    rows = out.mapInArrow(
+        tag, "pid int, pos long, range_id int, k long").collect()
+    assert len(rows) == 3000
+    # physically sorted by (range_id, NUMERIC k) inside every partition
+    by_pid = {}
+    for r in sorted(rows, key=lambda r: (r["pid"], r["pos"])):
+        by_pid.setdefault(r["pid"], []).append((r["range_id"], r["k"]))
+    for seq in by_pid.values():
+        assert seq == sorted(seq)
+    # ranges tile the key space NUMERICALLY and split more than once
+    spans = {}
+    for r in rows:
+        lo, hi = spans.get(r["range_id"], (r["k"], r["k"]))
+        spans[r["range_id"]] = (min(lo, r["k"]), max(hi, r["k"]))
+    rids = sorted(spans)
+    assert len(rids) > 1
+    assert all(spans[a][1] <= spans[b][0] for a, b in zip(rids, rids[1:]))
+    assert (out.drop("range_id").exceptAll(d).count() == 0
+            and d.exceptAll(out.drop("range_id")).count() == 0)
+
+
+def test_read_sorted_null_keys_deterministic_first_range(spark):
+    """Rows with NULL keys must survive every n_ranges and land
+    deterministically in the FIRST range, physically before non-null
+    keys — Spark's asc-nulls-first order. (Previously a bounded range's
+    >= filter nulled them out and Arrow's filter dropped them, so
+    results varied with n_ranges.)"""
+    d = spark.range(2000).select(
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.format_string("k%06d", F.col("id"))).alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("v"))
+    chunks = encode_partitions(
+        d, sort_cols=["k"], partitions=4, chunk_rows=128, profile="fast")
+
+    for n_ranges in (1, 5):
+        out = read_sorted(chunks, "k", n_ranges=n_ranges)
+        assert out.count() == 2000, f"rows lost at n_ranges={n_ranges}"
+
+    out = read_sorted(chunks, "k", n_ranges=5)
+    # nulls exactly preserved, all in the first range
+    nulls = out.filter(F.col("k").isNull())
+    assert nulls.count() == 200
+    rid0 = out.agg(F.min("range_id")).first()[0]
+    assert nulls.agg(F.max("range_id")).first()[0] == rid0
+    # physical order inside the first range: nulls precede non-nulls
+    rows = _partition_rows(out)
+    by_pid = {}
+    for r in sorted(rows, key=lambda r: (r["pid"], r["pos"])):
+        by_pid.setdefault(r["pid"], []).append((r["range_id"], r["k"]))
+    for seq in by_pid.values():
+        keyed = [(rid, k is not None, k or "") for rid, k in seq]
+        assert keyed == sorted(keyed)
+    # full content parity with the source
+    assert (out.drop("range_id").exceptAll(d).count() == 0
+            and d.exceptAll(out.drop("range_id")).count() == 0)
+
+
+def test_read_sorted_timestamp_keys(spark):
+    """Zone strings of timestamp keys round-trip through the typed
+    comparison (timestamp_ntz cast), so time-keyed stores read in
+    chronological — not lexicographic — order."""
+    d = spark.range(1000).select(
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_interval(secs=(F.col("id") * 97) % 1000)).alias("ts"),
+        F.col("id").alias("v"))
+    chunks = encode_partitions(
+        d, sort_cols=["ts"], partitions=3, chunk_rows=100, profile="fast")
+    out = read_sorted(chunks, "ts", n_ranges=4)
+    assert out.count() == 1000
+    got = [r["ts"] for r in
+           out.orderBy("range_id", "ts").collect()]
+    assert got == sorted(got)
+    assert (out.drop("range_id").exceptAll(d).count() == 0
+            and d.exceptAll(out.drop("range_id")).count() == 0)
+
+
+def test_plan_collects_o_ranges_not_chunks(spark):
+    """At north-rule scale the chunk count reaches 10^7-10^8, so the
+    planner must never hold one row per chunk on the driver: past
+    PLAN_COLLECT_THRESHOLD, cut selection runs as a Spark job and only
+    per-partition sums + the ~R cuts are collected. 100k synthetic
+    chunk zones plan in seconds, the driver sees O(R) rows, and the
+    distributed cuts equal the driver-path cuts exactly."""
+    import time
+
+    from parquet_producers_spark import sortedread
+
+    n = 100_000
+    zf = spark.range(n).select(
+        F.col("id").cast("int").alias("part_id"),
+        F.lit(0).cast("int").alias("chunk_seq"),
+        F.format_string("k%07d", F.col("id")).alias("key_min"),
+        F.format_string("k%07d", F.col("id")).alias("key_max"),
+        # skewed weights so balance actually matters
+        (F.when(F.col("id") % 1000 == 0, 5000).otherwise(10))
+        .cast("long").alias("n_rows"),
+        F.lit('{"key_nulls":0}').alias("params"))
+
+    t0 = time.time()
+    dist = plan_key_ranges(zf, 64)  # n >> threshold → distributed path
+    elapsed = time.time() - t0
+    assert elapsed < 60, f"planning took {elapsed:.1f}s on metadata only"
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert sortedread.LAST_PLAN_COLLECTED <= 64 + shuffle + 1, \
+        f"driver saw {sortedread.LAST_PLAN_COLLECTED} rows"
+    assert dist[0][0] is None and dist[-1][1] is None
+    cuts = [r[1] for r in dist[:-1]]
+    assert cuts == sorted(set(cuts)) and len(dist) > 32
+
+    drv = plan_key_ranges(zf, 64, plan_collect_threshold=2 * n)
+    assert sortedread.LAST_PLAN_COLLECTED >= n  # proves path taken
+    assert drv == dist  # both paths pick identical cut points
