@@ -722,33 +722,61 @@ def q_codec_compaction(spark, sf):
 
 
 def q_codec_maintenance(spark, sf):
-    """The versioned-storage maintenance loop end-to-end: checkpointed
-    encode of documents into stage v=1 (storage.encode_run — hash
-    slices, per-slice manifests), then the compact_if_needed policy
-    gate fires (runty chunk_rows on purpose) and compact_stage writes
-    v=2 with compacted_from lineage. Read v=2, decode, aggregate.
-    Oracle: maintenance must be invisible to readers — the same
-    aggregates over the raw table; ``compacted`` and ``runts_reduced``
-    pin that the gate actually fired and shrank the runt population
-    (deterministic at every gate sf with min_runt_fraction=0.05)."""
-    from parquet_producers_spark.compaction import compact_if_needed
-    from parquet_producers_spark.storage import encode_run, read_chunks
+    """The FULL encoded-table maintenance loop end-to-end (the
+    lifecycle a 100 TB deployment runs on a cadence): two snapshot
+    commits each feed an incremental encode wave with in-cadence runt
+    compaction (compact_if_needed fires on the deliberately runty
+    waves and the wave entry follows the compacted version —
+    sources/snapshots.py encode_table_incremental(maintain=True)),
+    then MAJOR consolidation folds the waves into one re-sorted
+    version (consolidate_encoded_table), then version GC
+    (expire_encoded_versions) physically deletes every superseded
+    ``v=N`` dir, and the FINAL READ runs after GC — proving reclaim
+    can't strand readers. Oracle: maintenance must be invisible —
+    the same aggregates over the raw table; the four flag literals
+    pin that each maintenance phase actually fired (deterministic at
+    every gate sf: runty chunk_rows by construction)."""
     from parquet_producers_spark.encoder import decode_chunks
+    from parquet_producers_spark.sources.snapshots import (
+        commit_snapshot,
+        consolidate_encoded_table,
+        encode_table_incremental,
+        expire_encoded_versions,
+        read_encoded_table,
+    )
+    from parquet_producers_spark.storage import list_versions
 
     _ensure_pkg(spark)
     root = _scratch(spark, "maint")
+    t = os.path.join(root, "tbl")
+    enc = os.path.join(root, "enc")
     docs = _t(spark, sf, "documents")
-    encode_run(spark, docs, root, "docs", version=1, sort_cols=["doc_id"],
-               n_slices=3, chunk_rows=512, partitions_per_slice=2)
-    v1_runts = (read_chunks(spark, root, "docs", 1)
-                .filter(F.col("n_rows") < 512)
-                .select("slice_id", "part_id", "chunk_seq").distinct().count())
-    new_version = compact_if_needed(
-        spark, root, "docs", 1, chunk_rows=512, min_runt_fraction=0.05,
-        partitions_per_slice=1)
-    chunks = read_chunks(spark, root, "docs", new_version)
-    v2_runts = (chunks.filter(F.col("n_rows") < 512)
-                .select("slice_id", "part_id", "chunk_seq").distinct().count())
+    kw = dict(sort_cols=["doc_id"], n_slices=2, chunk_rows=512,
+              partitions_per_slice=2, maintain=True,
+              min_runt_fraction=0.02)
+    commit_snapshot(
+        spark, docs.filter(F.col("doc_id") % 2 == 0).coalesce(2), t)
+    w1 = encode_table_incremental(spark, t, enc, "docs", **kw)
+    commit_snapshot(
+        spark, docs.filter(F.col("doc_id") % 2 == 1).coalesce(2), t,
+        mode="append")
+    w2 = encode_table_incremental(spark, t, enc, "docs", **kw)
+    compacted = 1 if ("compacted_from" in w1 and "compacted_from" in w2) \
+        else 0
+    runts_before = (read_encoded_table(spark, enc, "docs")
+                    .filter(F.col("n_rows") < 512)
+                    .select("enc_version", "slice_id", "part_id",
+                            "chunk_seq").distinct().count())
+    res = consolidate_encoded_table(
+        spark, enc, "docs", sort_cols=["doc_id"], n_slices=1,
+        chunk_rows=512)
+    gone = expire_encoded_versions(enc, "docs")
+    gc_ok = 1 if (gone and list_versions(enc, "docs")
+                  == [res["version"]]) else 0
+    chunks = read_encoded_table(spark, enc, "docs")  # read AFTER GC
+    runts_after = (chunks.filter(F.col("n_rows") < 512)
+                   .select("enc_version", "slice_id", "part_id",
+                           "chunk_seq").distinct().count())
     decoded = decode_chunks(chunks, ordered=False)
     hash60 = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("bigint")
     return (
@@ -756,9 +784,11 @@ def q_codec_maintenance(spark, sf):
         .agg(F.count("*").alias("n_docs"),
              F.sum("n_chars").cast("bigint").alias("total_chars"),
              F.sum(F.pmod(hash60, F.lit(1000000007))).alias("text_hashsum"))
-        .withColumn("compacted", F.lit(1 if new_version == 2 else 0))
+        .withColumn("compacted", F.lit(compacted))
+        .withColumn("consolidated", F.lit(int(res.get("consolidated", 0))))
+        .withColumn("gc_reclaimed", F.lit(gc_ok))
         .withColumn("runts_reduced",
-                    F.lit(1 if v2_runts < v1_runts else 0))
+                    F.lit(1 if runts_after < runts_before else 0))
     )
 
 
@@ -2505,7 +2535,9 @@ FROM documents
 GROUP BY lang
 """
 
-    # versioned maintenance loop: v=2 readers see exactly the raw table
+    # full maintenance loop (waves + in-cadence compaction +
+    # consolidation + version GC + read-after-GC): readers see exactly
+    # the raw table at every phase
     sql["codec_maintenance"] = """
 SELECT lang,
        COUNT(*) AS n_docs,
@@ -2513,6 +2545,8 @@ SELECT lang,
        CAST(SUM(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
                 % 1000000007) AS BIGINT) AS text_hashsum,
        1 AS compacted,
+       1 AS consolidated,
+       1 AS gc_reclaimed,
        1 AS runts_reduced
 FROM documents
 GROUP BY lang
