@@ -1,7 +1,14 @@
 """Local stand-in for the driver's correctness gate: run every
 ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB at the
 given sf dir, compare row count + column names + order-insensitive
-value hash. Usage: python scripts/check_oracle.py [sf_dir] [only...]"""
+value hash. Usage: python scripts/check_oracle.py [sf_dir] [only...]
+
+``--past-cap`` runs EXACTLY the registry entries past the driver
+gate's 50-entry recording window — the queries whose only automated
+correctness check is this script (each is documented in queries() as
+subsumed by an in-window sibling, but subsumption is an argument, not
+a hash). tests/test_past_cap_oracle.py wires this into pytest so the
+full registry stays continuously green without judge intervention."""
 
 from __future__ import annotations
 
@@ -47,9 +54,17 @@ def value_hash(rows, cols):
     return h.hexdigest()
 
 
+GATE_CAP = 50  # the driver's correctness gate records this many entries
+
+
 def main():
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--past-cap"]
+    past_cap = "--past-cap" in sys.argv[1:]
+    sf = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    if past_cap:
+        only = set(list(entrymod.queries())[GATE_CAP:]) | only
+        print(f"past-cap set ({len(only)}): {sorted(only)}")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
