@@ -470,7 +470,8 @@ def encode_files(
     return fdf.mapInArrow(enc, schema=CHUNK_SPARK_SCHEMA)
 
 
-def decode_chunks(chunks: DataFrame, ordered: bool = False) -> DataFrame:
+def decode_chunks(chunks: DataFrame, ordered: bool = False,
+                  _pandas_boundary: bool = False) -> DataFrame:
     """Inverse of :func:`encode_partitions`: chunk table → original rows.
 
     Chunks are decoded group-wise; all columns of one chunk travel
@@ -479,6 +480,14 @@ def decode_chunks(chunks: DataFrame, ordered: bool = False) -> DataFrame:
     SORT of the decoded output and therefore the expensive path at scale;
     it defaults off. Consumers that need at-rest order re-sort by their
     own key (as compaction already does, compaction.py:69-74).
+
+    ``_pandas_boundary`` is a MEASUREMENT COMPARATOR, not a supported
+    path: it runs the identical per-chunk kernels but crosses the
+    executor boundary via ``applyInPandas`` (blobs arrive as a pandas
+    frame, the decoded Arrow table leaves through ``.to_pandas()``) —
+    the pre-Arrow-native shape this function had before the
+    ``applyInArrow`` rewrite. ``bench.py``'s decode probe times both
+    to put a number on that rewrite's win; nothing else should set it.
     """
     from pyspark.sql import functions as F
 
@@ -536,7 +545,16 @@ def decode_chunks(chunks: DataFrame, ordered: bool = False) -> DataFrame:
         tbl = pa.table(cols, schema=out_schema)
         return tbl if out_schema == out_emit else tbl.cast(out_emit)
 
-    out = chunks.groupBy(*group_cols).applyInArrow(dec, schema=spark_schema)
+    if _pandas_boundary:
+        def dec_pd(key, pdf):
+            tin = pa.Table.from_pandas(pdf, preserve_index=False)
+            return dec(key, tin).to_pandas()
+
+        out = chunks.groupBy(*group_cols).applyInPandas(
+            dec_pd, schema=spark_schema)
+    else:
+        out = chunks.groupBy(*group_cols).applyInArrow(
+            dec, schema=spark_schema)
     if ordered:
         out = out.orderBy("__ord")
     return out.drop("__ord")

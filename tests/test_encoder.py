@@ -246,3 +246,21 @@ def test_encode_staged_parity(spark, tmp_path):
         encode_partitions(src, sort_cols=["repo", "path"], partitions=3),
         ordered=False)
     assert digest(staged) == digest(onephase) == digest(src)
+
+
+def test_decode_pandas_boundary_comparator_parity(spark, source):
+    """The bench-only ``_pandas_boundary`` comparator (identical chunk
+    kernels, applyInPandas boundary — the pre-Arrow-native decode
+    shape bench.py's decode probe times against) must stay
+    row-identical to the shipped applyInArrow decode, or the probe's
+    'win' number measures a broken leg instead of the boundary."""
+    chunks = encode_partitions(
+        source.limit(800), sort_cols=["repo", "path"], partitions=3,
+        chunk_rows=256,
+    ).localCheckpoint()
+    arrow_rows = sorted(
+        tuple(r) for r in decode_chunks(chunks).collect())
+    pandas_rows = sorted(
+        tuple(r) for r in
+        decode_chunks(chunks, _pandas_boundary=True).collect())
+    assert arrow_rows == pandas_rows
