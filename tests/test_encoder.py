@@ -264,3 +264,77 @@ def test_decode_pandas_boundary_comparator_parity(spark, source):
         tuple(r) for r in
         decode_chunks(chunks, _pandas_boundary=True).collect())
     assert arrow_rows == pandas_rows
+
+
+def test_staged_pruned_range_plan_contract(spark, tmp_path):
+    """The pruned-range phase-1 spill (_spill_range_pruned: cuts from a
+    column-pruned key frame + binary-search routing + hash-preimage
+    reducers) must honor the classic repartitionByRange contract:
+    every row present exactly once, rows sorted within each spill
+    file, per-file key ranges contiguous and NON-overlapping, null
+    keys first. Payload is scanned once instead of twice — the 100 TB
+    point — but the contract is what downstream zone maps rely on."""
+    import pyarrow.parquet as pq
+
+    from parquet_producers_spark.encoder import _spill_range_pruned
+
+    src = source_code_df(spark, 1200, seed=7, partitions=5)
+    # inject null keys: they must sort first and appear exactly once
+    src = src.unionByName(
+        src.limit(3).withColumn("repo", F.lit(None).cast("string")))
+    spill = str(tmp_path / "pruned_spill")
+    _spill_range_pruned(spark, src, spill, ["repo", "path"], 8)
+
+    files = sorted(
+        os.path.join(spill, f) for f in os.listdir(spill)
+        if f.endswith(".parquet"))
+    spans = []
+    total = 0
+    for f in files:
+        t = pq.read_table(f, columns=["repo", "path"])
+        total += t.num_rows
+        if not t.num_rows:
+            continue
+        keys = list(zip(
+            (x.as_py() for x in t.column("repo")),
+            (x.as_py() for x in t.column("path"))))
+        norm = [((k[0] is not None, k[0] or ""), k[1]) for k in keys]
+        assert norm == sorted(norm), f"rows not sorted within {f}"
+        spans.append((norm[0], norm[-1]))
+    assert total == src.count()
+    # files sorted by their min key must have non-overlapping ranges
+    spans.sort()
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(spans, spans[1:]):
+        assert hi_a <= lo_b, f"overlapping spill ranges {hi_a} vs {lo_b}"
+    # decoded parity with the classic spark-range staged route
+    from parquet_producers_spark.encoder import encode_staged
+
+    pruned = decode_chunks(
+        encode_staged(spark, src, str(tmp_path / "sp1"),
+                      sort_cols=["repo", "path"], partitions=6,
+                      range_plan="pruned"))
+    classic = decode_chunks(
+        encode_staged(spark, src, str(tmp_path / "sp2"),
+                      sort_cols=["repo", "path"], partitions=6,
+                      range_plan="spark"))
+    none_safe = lambda rows: sorted(  # noqa: E731 — None-bearing tuples
+        (tuple(r) for r in rows), key=repr)
+    assert none_safe(pruned.collect()) == none_safe(classic.collect())
+
+
+def test_reducer_preimages_exact_routing(spark):
+    """Every precomputed preimage must land its range id on exactly its
+    own reducer, in range order (the contiguity AQE-merge argument
+    depends on adjacent ids → adjacent reducers)."""
+    from parquet_producers_spark.encoder import _reducer_preimages
+
+    for n in (1, 2, 7, 32):
+        pre = _reducer_preimages(n)
+        assert len(pre) == n
+        got = (
+            spark.createDataFrame([(p, pre[p]) for p in range(n)],
+                                  "p int, j int")
+            .repartition(n, "j")
+            .withColumn("pid", F.spark_partition_id())
+            .collect())
+        assert all(r.p == r.pid for r in got)
