@@ -721,6 +721,40 @@ def q_codec_compaction(spark, sf):
     )
 
 
+def q_codec_staged_encode(spark, sf):
+    """GENERIC-INPUT encode route end-to-end (encoder.encode_staged,
+    default pruned-range plan): documents arrive as an arbitrary
+    unsorted DataFrame, phase 1 range-spills them sorted by
+    (lang, doc_id) — cut points planned from a column-pruned key
+    sample, rows routed by the binary-search/hash-preimage exchange,
+    so payload bytes are scanned ONCE — phase 2 encodes the spill via
+    the direct-scan path. Decode + per-lang aggregate must equal the
+    raw table (staging is invisible to readers); ``staged_multifile``
+    pins that phase 1 really produced a multi-file sorted spill (the
+    thing the routing exchange exists to build)."""
+    from parquet_producers_spark.encoder import decode_chunks, encode_staged
+
+    _ensure_pkg(spark)
+    docs = _spread(spark, _t(spark, sf, "documents"))
+    spill = os.path.join(_scratch(spark, "stagedenc"), "spill")
+    chunks = encode_staged(
+        spark, docs, spill, sort_cols=["lang", "doc_id"], partitions=8,
+        key_col="lang",
+    ).localCheckpoint(eager=False)
+    n_spill_files = sum(
+        1 for f in os.listdir(spill) if f.endswith(".parquet"))
+    decoded = decode_chunks(chunks, ordered=False)
+    hash60 = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("bigint")
+    return (
+        decoded.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").cast("bigint").alias("total_chars"),
+             F.sum(F.pmod(hash60, F.lit(1000000007))).alias("text_hashsum"))
+        .withColumn("staged_multifile",
+                    F.lit(1 if n_spill_files > 1 else 0))
+    )
+
+
 def q_codec_maintenance(spark, sf):
     """The FULL encoded-table maintenance loop end-to-end (the
     lifecycle a 100 TB deployment runs on a cadence): two snapshot
@@ -1462,6 +1496,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   user_running_value     ⊂ order_rank_window (same window family;
     #                            slot went to codec_sorted_read — the new
     #                            sorted-merge consumer path)
+    #   codec_staged_encode    — NEW (r6, pruned-range staged spill): the
+    #                            gate window is full and every in-window
+    #                            entry is strictly richer or a distinct
+    #                            family; parity is enforced continuously by
+    #                            the --past-cap pytest below the cap
+    #                            (reader-visible behavior is also covered
+    #                            by codec_roundtrip_sha's direct route)
     return {
         "producer_incremental_content": q_producer_incremental_content,
         "producer_incremental_cdc": q_producer_incremental_cdc,
@@ -1527,6 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_running_value": q_user_running_value,
         "region_customer_count": q_region_customer_count,
         "event_type_stats": q_event_type_stats,
+        "codec_staged_encode": q_codec_staged_encode,
     }
 
 
@@ -2548,6 +2590,16 @@ SELECT lang,
        1 AS consolidated,
        1 AS gc_reclaimed,
        1 AS runts_reduced
+FROM documents
+GROUP BY lang
+"""
+    sql["codec_staged_encode"] = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+                % 1000000007) AS BIGINT) AS text_hashsum,
+       1 AS staged_multifile
 FROM documents
 GROUP BY lang
 """
