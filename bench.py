@@ -461,7 +461,7 @@ def sorted_read_probe(src_path: str, work: str, cores: int = None) -> dict:
 
 
 def decode_probe(src_path: str, work: str, cores: int = None,
-                 reps: int = 3) -> dict:
+                 reps: int = 2) -> dict:
     """Decode throughput, measured (the number beside round 5's claim):
     the r5 rewrite moved both decode paths to Arrow-native
     ``applyInArrow`` on the claim that pandas object conversion on
@@ -821,12 +821,12 @@ def main() -> None:
         # the OTHER bar-bearing row — the generic-input staged route's
         # quarter-box pair — runs THIRD, before the full-box phases
         # heat the package (r5: it ran LAST and 5 of 6 runs recorded
-        # 0.73-0.79 vs a 0.812 ledger best), and with the same rep
-        # count that legitimized the deploy row: 4 interleaved pairs,
-        # best-of-N per level, so one noise window can't set the
-        # recorded number
+        # 0.73-0.79 vs a 0.812 ledger best), with 3 interleaved pairs
+        # (best-of-N per level, so one noise window can't set the
+        # recorded number; 4 pairs measured ~4 min slower with no
+        # better best — the r6 45-min run risked the capture window)
         stagedq_low, stagedq_high, stagedq_eff = paired_scaling(
-            src_scaled, work, reps=4,
+            src_scaled, work, reps=3,
             low_cpus=qb_low_n, high_cpus=qb_high_n,
             level_fn=lambda c, s, w, r: staged_level(
                 c, s, w, reps=r, spill_base=ram_work))
@@ -1283,7 +1283,7 @@ def _write_bench_md(result: dict) -> None:
             " a full-materialization aggregate at"
             f" local[{dc['cores']}]; both legs run the identical"
             " per-chunk kernels and differ only in how rows cross the"
-            " executor boundary (interleaved, best of 3 per leg):",
+            " executor boundary (interleaved, best-of-N per leg):",
             "",
             "| boundary | elapsed s | content GB/s |",
             "|---|---|---|",
