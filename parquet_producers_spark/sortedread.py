@@ -257,8 +257,15 @@ def read_sorted(
     from .encoder import decode_array, emit_schema
 
     spark = chunks.sparkSession
+    # planning runs 3-4 metadata jobs; over a checkpointed chunk frame
+    # each would re-scan the full BLOB bytes (checkpoint rows are
+    # materialized whole — column pruning can't skip the data column).
+    # One slim projection pays that scan once; every planning job after
+    # it reads metadata-only rows. The MAIN plan below still builds on
+    # ``chunks`` directly, so the one-blob-exchange shape is unchanged.
+    meta = chunks.drop("data").localCheckpoint(eager=False)
     heads = (
-        chunks.groupBy("col_idx", "column")
+        meta.groupBy("col_idx", "column")
         .agg(F.first("params").alias("params"))
         .orderBy("col_idx")
         .collect()
@@ -274,7 +281,7 @@ def read_sorted(
     zone_t = _zone_sql_type(_spark_type(key_arrow))
     # zone_t None → string comparison (identical plan; the decode task
     # casts the key to string for the exact bound filter)
-    ranges = plan_key_ranges(chunks, n_ranges, key_type=zone_t)
+    ranges = plan_key_ranges(meta, n_ranges, key_type=zone_t)
     ident = _ident_cols(chunks)
 
     # assignment = broadcast theta-join of the chunk rows against the
