@@ -943,16 +943,26 @@ def vacuum(
             "only if the full wipe is intended.")
 
     orphans: list[str] = []
+    empty_dirs: list[str] = []
     for d, ps in listed.items():
         dir_orphans = [p for p in ps if _table_suffix(p) in orphan_sfx]
-        kept_any = len(dir_orphans) < len(ps)
         orphans.extend(dir_orphans)
-        if not dry_run:
-            for p in dir_orphans:
-                store.delete(p)
-            if not kept_any:
-                # _SUCCESS etc. ride along with their directory
-                store.delete(d, recursive=True)
+        if len(dir_orphans) == len(ps):
+            empty_dirs.append(d)
+    if not dry_run and orphans:
+        # deletes are IO-bound round trips (a replace commit strands
+        # the WHOLE previous file set, so the orphan list is O(table),
+        # not O(garbage)); issue them from a thread pool instead of a
+        # serial driver loop. Threads, not executors: the py4j-backed
+        # HadoopStore can't cross into python workers, and object-store
+        # deletes parallelize fine from one host.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(32, len(orphans))) as ex:
+            list(ex.map(store.delete, orphans))
+        for d in empty_dirs:
+            # _SUCCESS etc. ride along with their directory
+            store.delete(d, recursive=True)
 
     # equality-delete files (commit_deletes): one parquet DIR per delete
     # commit under <table>/deletes — reclaim dirs no live snapshot's
