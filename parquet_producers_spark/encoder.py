@@ -491,9 +491,12 @@ def decode_chunks(chunks: DataFrame, ordered: bool = False,
     """
     from pyspark.sql import functions as F
 
-    # recover the original column schema from the stored arrow type names
+    # recover the original column schema from the stored arrow type
+    # names — blobs projected away first: over a checkpointed chunk
+    # frame this job would otherwise re-scan the full data bytes
+    # (checkpoint rows are materialized whole; pruning can't skip them)
     heads = (
-        chunks.groupBy("col_idx", "column")
+        chunks.drop("data").groupBy("col_idx", "column")
         .agg(F.first("params").alias("params"))
         .orderBy("col_idx")
         .collect()
