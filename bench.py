@@ -1153,7 +1153,17 @@ def _write_bench_md(result: dict) -> None:
                              " non-scaling local disk AND shared-DRAM"
                              " saturation at full fill — stay out of"
                              " the measurement. Interleaved pairs,"
-                             " best-of-N per level",
+                             " best-of-N per level. NOTE (r6): the"
+                             " pruned-range spill plan raised this"
+                             " route's ABSOLUTE throughput ~9-16% at"
+                             " both levels (payload scanned once) at"
+                             " the cost of ~0.03-0.04 of this local"
+                             " ratio — its one fixed planning job"
+                             " (~0.5-1 s) weighs more on the faster"
+                             " high level; at cluster job lengths"
+                             " (minutes) that fixed cost vanishes,"
+                             " so the trade is the right one at the"
+                             " scale this row stands in for",
             "deploy_scaled_quarterbox": "deployment-default route,"
                              " QUARTER-BOX N→4N pair (half the cores"
                              " per level, same 4× ratio, same input):"
