@@ -651,8 +651,8 @@ def q_codec_incremental_waves(spark, sf):
 
 def q_codec_sorted_read(spark, sf):
     """Zone-planned SORTED-MERGE READ (sortedread.py) — the reference's
-    sorted-consumer contract (ParquetSortedRead.cs:12-49 /
-    ParquetSortedMerge.cs:10-52 iterate + k-way merge pre-sorted runs)
+    sorted-consumer contract (ParquetProduction.cs:199,217,403 /
+    Parquet/MergeSorter.cs:83 iterate + k-way SortedMerge pre-sorted runs)
     as a Spark plan with NO total sort: key ranges cut from chunk zone
     maps (driver metadata), chunks broadcast-assigned to ranges, decode
     + exact bounds, ONE hash shuffle on range_id, local sorts. The

@@ -4,8 +4,9 @@
 sort (Spark ``orderBy``: a sampling job + range shuffle of decoded
 rows) — the expensive path the reference never pays, because its
 consumers iterate sorted runs and k-way merge them
-(Parquet.Producers/ParquetSortedMerge.cs:10-52 merges pre-sorted
-sequences instead of re-sorting).
+(Parquet.Producers/ParquetProduction.cs:199,217,403 and
+Parquet/MergeSorter.cs:83 k-way SortedMerge pre-sorted parquet streams
+instead of re-sorting).
 
 This module is that consumer, Spark-first: the chunk table's KEY ZONE
 maps (``key_min``/``key_max``, written by every encode) already
@@ -138,10 +139,26 @@ def plan_key_ranges(
              F.first("key_min").isNotNull().alias("zoned"),
              F.first("n_rows").alias("rows"),
              F.max(_key_nulls_col()).alias("knulls"))
-        # planning runs 2-3 jobs over this frame; pin it so an
+        # planning runs 1-2 jobs over this frame; pin it so an
         # encode-in-plan upstream computes once, not per job
         .localCheckpoint(eager=False)
     )
+
+    def _guards(n, keyless, uncastable):
+        if not n:
+            raise ValueError(
+                "sorted read needs key zones on every chunk — "
+                "encode with a key_col")
+        if keyless:
+            raise ValueError(
+                f"{keyless} chunk(s) carry no key zone — "
+                "encode with a key_col")
+        if uncastable:
+            raise ValueError(
+                f"{uncastable} chunk zone(s) do not parse as "
+                f"{cast_t} — the store's key type disagrees with the "
+                "requested comparison type")
+
     head = zones.agg(
         F.count("*").alias("n"),
         F.sum("rows").alias("total"),
@@ -150,42 +167,48 @@ def plan_key_ranges(
         F.sum(F.when(~F.col("zoned") & (F.col("knulls") == 0), 1)
               .otherwise(0)).alias("keyless"),
         # zone present as a string but not castable under key_type —
-        # refuse rather than silently mis-assign the chunk
-        F.sum(F.when(F.col("zoned") & F.col("mn").isNull(), 1)
+        # refuse rather than silently mis-assign the chunk. A NULL
+        # key_max alone also counts (ADVICE r6 #3): a chunk whose mx
+        # fails the cast would otherwise satisfy only the first range's
+        # overlap predicate and silently drop its rows past the first
+        # cut.
+        F.sum(F.when(F.col("zoned")
+                     & (F.col("mn").isNull() | F.col("mx").isNull()), 1)
               .otherwise(0)).alias("uncastable"),
     ).first()
     LAST_PLAN_COLLECTED = 1
-    if not head["n"]:
-        raise ValueError(
-            "sorted read needs key zones on every chunk — "
-            "encode with a key_col")
-    if head["keyless"]:
-        raise ValueError(
-            f"{head['keyless']} chunk(s) carry no key zone — "
-            "encode with a key_col")
-    if head["uncastable"]:
-        raise ValueError(
-            f"{head['uncastable']} chunk zone(s) do not parse as "
-            f"{cast_t} — the store's key type disagrees with the "
-            "requested comparison type")
+    _guards(head["n"], head["keyless"], head["uncastable"])
     total = int(head["total"])
     r = n_ranges or max(1, min(
         int(head["n"]),
         int(spark.conf.get("spark.sql.shuffle.partitions"))))
     step = total / r
+    # NaN zone values (double keys): Spark orders NaN ABOVE every
+    # double, so NaN-keyed chunks belong to the last range — a NaN must
+    # never become a cut (Python sorted() also misorders NaN, ADVICE r6
+    # #1). _nan maps NaN to +inf for ordering and flags it for the cut
+    # guard; non-float types pass through untouched.
+    def _is_nan(v):
+        return isinstance(v, float) and v != v
+
+    def _ord(v):
+        return float("inf") if _is_nan(v) else v
 
     if int(head["n"]) <= plan_collect_threshold:
         rows = zones.select("mn", "mx", "rows").collect()
         LAST_PLAN_COLLECTED += len(rows)
         # nulls (all-null-key chunks) order first — they live in the
         # first range, so their weight fronts the cumulative sum
-        rows.sort(key=lambda z: ((z["mn"] is not None),
-                                 z["mn"] if z["mn"] is not None else 0,
-                                 z["mx"] if z["mx"] is not None else 0))
+        rows = sorted(rows, key=lambda z: ((z["mn"] is not None),
+                                           _ord(z["mn"]) if z["mn"] is not None
+                                           else 0,
+                                           _ord(z["mx"]) if z["mx"] is not None
+                                           else 0))
         cuts, cum, seen = [], 0, set()
         for z in rows:
             k = int(cum // step)
-            if k >= 1 and k not in seen and z["mn"] is not None:
+            if (k >= 1 and k not in seen and z["mn"] is not None
+                    and not _is_nan(z["mn"])):
                 seen.add(k)
                 cuts.append(z["mn"])
             cum += z["rows"]
@@ -212,10 +235,14 @@ def plan_key_ranges(
              .rowsBetween(Window.unboundedPreceding, -1))
         cum_excl = (F.coalesce(F.sum("rows").over(w), F.lit(0))
                     + F.col("off"))
+        cuttable = F.col("mn").isNotNull()
+        if (cast_t or "").lower() in ("double", "float", "real"):
+            # NaN must never become a cut (see driver path above)
+            cuttable = cuttable & ~F.isnan(F.col("mn"))
         cut_rows = (
             part.join(F.broadcast(odf), "pid")
             .withColumn("k", F.floor(cum_excl / F.lit(step)))
-            .filter((F.col("k") >= 1) & F.col("mn").isNotNull())
+            .filter((F.col("k") >= 1) & cuttable)
             .groupBy("k").agg(F.min("mn").alias("cut"))
             .collect()
         )
@@ -242,8 +269,8 @@ def read_sorted(
     range ids tile the key space, so consuming ranges in id order (or
     :func:`write_sorted`'s directory layout) yields the full table in
     key order — the reference's sorted-consumer semantics
-    (Parquet.Producers/ParquetSortedRead.cs:12-49) re-expressed as a
-    plan, not an iterator.
+    (Parquet.Producers/ParquetProduction.cs:199,217,403 +
+    Parquet/MergeSorter.cs:83) re-expressed as a plan, not an iterator.
 
     Plan shape (the point of the module): ONE exchange total, and it
     moves compressed chunk blobs clustered by ``range_id`` — decoded
@@ -278,6 +305,16 @@ def read_sorted(
     if key not in col_names:
         raise ValueError(f"key column {key!r} not in store ({col_names})")
     key_arrow = dict(zip(col_names, fields))[key].type
+    if pa.types.is_binary(key_arrow) or pa.types.is_large_binary(key_arrow):
+        # the encoder stringifies zones via str(bytes) (Python repr:
+        # "b'x'") while the task-side exact filter would cast the Arrow
+        # binary column to utf8 ("x") — plan bounds and row values would
+        # compare under DIFFERENT encodings and rows could silently
+        # misfilter (ADVICE r6 #2). Refuse, like the uncastable path.
+        raise ValueError(
+            f"key column {key!r} is binary — binary sort keys have no "
+            "lossless zone-string round-trip; re-encode with a "
+            "string/numeric key")
     zone_t = _zone_sql_type(_spark_type(key_arrow))
     # zone_t None → string comparison (identical plan; the decode task
     # casts the key to string for the exact bound filter)
@@ -301,12 +338,34 @@ def read_sorted(
         & (F.col("hi").isNull() | (kmin < F.col("hi")))
     )
     null_leg = F.col("lo").isNull() & (_key_nulls_col() > 0)
-    fat = chunks.join(F.broadcast(rdf), overlap | null_leg, "inner")
+    from .encoder import _reducer_preimages
 
-    # group-decode per RANGE: the group key is (range_id, bounds), so
-    # the groupBy's hash exchange — the plan's only shuffle — moves the
-    # compressed blobs of each range onto one task, which reassembles
-    # every overlapping chunk, bound-filters, and concatenates the runs
+    # route each range to ITS OWN reducer via the Murmur3 preimage
+    # table (hash partitioning inverted into direct placement — same
+    # trick encoder._spill_range_pruned uses): a plain
+    # groupBy(range_id) exchange hashes R ranges into the session's
+    # shuffle-partition count, and balls-in-bins collisions hand some
+    # tasks 2-3 ranges while others sit idle — the measured straggler
+    # shape of the sorted-read probe (guide §2.5). With the preimage
+    # route, partition p holds exactly range p: perfect balance,
+    # deterministic output layout (partition order == range order), and
+    # the explicit repartition is not AQE-coalesced, so decode
+    # parallelism is n_ranges by construction.
+    npart = len(ranges)
+    route = F.array(*[F.lit(int(j)).cast("int")
+                      for j in _reducer_preimages(npart)])
+    fat = (
+        chunks.join(F.broadcast(rdf), overlap | null_leg, "inner")
+        .withColumn("__route", F.get(route, F.col("range_id")))
+        .repartition(npart, "__route")
+    )
+
+    # group-decode per RANGE: the group key is (route, range_id,
+    # bounds); the explicit repartition above IS the plan's only
+    # shuffle (hash on __route already clusters the group key, so the
+    # groupBy adds no second exchange) and moves the compressed blobs
+    # of each range onto one task, which reassembles every overlapping
+    # chunk, bound-filters, and concatenates the runs
     data_schema = pa.schema(fields)
     out_schema = pa.schema([pa.field("range_id", pa.int32())] + fields)
     out_emit = emit_schema(list(out_schema))
@@ -327,7 +386,8 @@ def read_sorted(
         def _py(v):
             return v.as_py() if hasattr(v, "as_py") else v
 
-        rid, lo, hi = int(_py(gkey[0])), _py(gkey[1]), _py(gkey[2])
+        # gkey = (__route, range_id, lo, hi)
+        rid, lo, hi = int(_py(gkey[1])), _py(gkey[2]), _py(gkey[3])
         # group the ≤ (chunks × columns) METADATA rows by chunk ident —
         # the loop never touches data rows
         ident_cols = [tin.column(c) for c in ident]
@@ -353,11 +413,18 @@ def read_sorted(
             # exact half-open bounds under the key's type; null keys
             # survive ONLY in the first (lo=None) range — a bounded
             # range's >= comparison nulls them out and Arrow's filter
-            # drops null-mask rows, deterministically at every n_ranges
+            # drops null-mask rows, deterministically at every n_ranges.
+            # NaN keys survive ONLY in the last (hi=None) range: Spark
+            # orders NaN above every double, but Arrow's >= is IEEE
+            # (NaN >= lo is false), so without the explicit is_nan leg
+            # every NaN-keyed row silently vanished at n_ranges > 1
+            # (ADVICE r6 #1).
             if lo is not None:
                 mask = pc.greater_equal(ks, pa.scalar(lo, cmp_t))
                 if hi is not None:
                     mask = pc.and_(mask, pc.less(ks, pa.scalar(hi, cmp_t)))
+                elif pa.types.is_floating(cmp_t):
+                    mask = pc.or_kleene(mask, pc.is_nan(ks))
                 tbl = tbl.filter(mask)
             elif hi is not None:
                 tbl = tbl.filter(pc.or_kleene(
@@ -371,7 +438,7 @@ def read_sorted(
         tbl = pa.table(cols, schema=out_schema)
         return tbl if out_schema == out_emit else tbl.cast(out_emit)
 
-    out = fat.groupBy("range_id", "lo", "hi").applyInArrow(
+    out = fat.groupBy("__route", "range_id", "lo", "hi").applyInArrow(
         dec, schema=spark_schema)
     # partition-local sort, NO exchange: every range is whole inside
     # its group's partition, so (range_id, key) order within partitions

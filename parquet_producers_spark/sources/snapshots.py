@@ -947,21 +947,31 @@ def vacuum(
     for d, ps in listed.items():
         dir_orphans = [p for p in ps if _table_suffix(p) in orphan_sfx]
         orphans.extend(dir_orphans)
-        if len(dir_orphans) == len(ps):
+        # a dir whose listing is ALREADY empty (e.g. a partial prior
+        # vacuum deleted its files but died before the dir) is
+        # dir-level garbage too — flagged explicitly instead of riding
+        # the vacuous 0 == 0 all-orphan comparison (ADVICE r6 #4)
+        if not ps or len(dir_orphans) == len(ps):
             empty_dirs.append(d)
-    if not dry_run and orphans:
-        # deletes are IO-bound round trips (a replace commit strands
-        # the WHOLE previous file set, so the orphan list is O(table),
-        # not O(garbage)); issue them from a thread pool instead of a
-        # serial driver loop. Threads, not executors: the py4j-backed
-        # HadoopStore can't cross into python workers, and object-store
-        # deletes parallelize fine from one host.
-        from concurrent.futures import ThreadPoolExecutor
+    if not dry_run:
+        if orphans:
+            # deletes are IO-bound round trips (a replace commit
+            # strands the WHOLE previous file set, so the orphan list
+            # is O(table), not O(garbage)); issue them from a thread
+            # pool instead of a serial driver loop. Threads, not
+            # executors: the py4j-backed HadoopStore can't cross into
+            # python workers, and object-store deletes parallelize fine
+            # from one host.
+            from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=min(32, len(orphans))) as ex:
-            list(ex.map(store.delete, orphans))
+            with ThreadPoolExecutor(
+                    max_workers=min(32, len(orphans))) as ex:
+                list(ex.map(store.delete, orphans))
+        # empty dirs delete regardless of whether THIS run deleted any
+        # files (ADVICE r6 #4: the old `orphans` gate let dir-level
+        # garbage persist across runs once its files were gone);
+        # _SUCCESS etc. ride along with their directory
         for d in empty_dirs:
-            # _SUCCESS etc. ride along with their directory
             store.delete(d, recursive=True)
 
     # equality-delete files (commit_deletes): one parquet DIR per delete

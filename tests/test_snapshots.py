@@ -1087,3 +1087,36 @@ def test_upsert_and_rewrite_preserve_stats_cols(spark, tmp_path):
     got = read_snapshot_where(spark, t, "id", lo=440, hi=449)
     assert sorted(r.v for r in got.collect()) == \
         sorted(f"u{i}" for i in range(440, 450))
+
+
+def test_vacuum_reclaims_empty_dirs_without_new_orphans(spark, tmp_path):
+    """ADVICE r6 #4: a version dir whose files are already gone (e.g. a
+    partial prior vacuum died between file and dir deletes) must still
+    be reclaimed by the next vacuum even when that run finds ZERO new
+    orphan files — the old code gated dir deletes on the orphan list."""
+    import os
+
+    from parquet_producers_spark.sources.snapshots import (
+        expire_snapshots,
+        vacuum,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(spark, spark.createDataFrame(
+        [(1, "a")], "id int, v string").coalesce(1), t)
+    s2 = commit_snapshot(spark, spark.createDataFrame(
+        [(9, "z")], "id int, v string").coalesce(1), t, mode="replace")
+    expire_snapshots(t, keep_last=1)
+    orphans = vacuum(t, dry_run=True)
+    assert orphans
+    # simulate the partial prior vacuum: files deleted, dir left behind
+    stranded = {os.path.dirname(p) for p in orphans}
+    for p in orphans:
+        os.remove(p)
+    assert all(os.path.isdir(d) for d in stranded)
+    # this run sees no orphan FILES, but must still reclaim the dirs
+    assert vacuum(t) == []
+    assert not any(os.path.exists(d) for d in stranded)
+    # live snapshot untouched
+    assert [tuple(r) for r in read_snapshot(spark, t).collect()] == [(9, "z")]
+    assert list_snapshots(t) == [s2]

@@ -1,6 +1,7 @@
 """Zone-planned sorted-merge read: globally ordered decode with no
 total sort (sortedread.py). The reference's sorted-consumer contract
-(ParquetSortedRead/ParquetSortedMerge) as a Spark plan."""
+(ParquetProduction.cs:199,217,403 / Parquet/MergeSorter.cs:83
+SortedMerge) as a Spark plan."""
 
 import pyspark.sql.functions as F
 import pytest
@@ -300,3 +301,42 @@ def test_plan_collects_o_ranges_not_chunks(spark):
     drv = plan_key_ranges(zf, 64, plan_collect_threshold=2 * n)
     assert sortedread.LAST_PLAN_COLLECTED >= n  # proves path taken
     assert drv == dist  # both paths pick identical cut points
+
+
+def test_read_sorted_nan_keys_route_to_last_range(spark):
+    """ADVICE r6 #1: NaN double keys order ABOVE every value in Spark,
+    but Arrow's IEEE >= comparison is false for NaN — without the
+    explicit is_nan leg the last range's bound filter silently dropped
+    every NaN-keyed row at n_ranges > 1. NaN rows must all survive, in
+    the LAST range, and a NaN must never become a cut."""
+    d = spark.range(400).select(
+        F.when(F.col("id") % 10 == 0, F.lit(float("nan")))
+        .otherwise((F.col("id") * 37 % 400).cast("double")).alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("v"),
+    )
+    chunks = encode_partitions(
+        d, sort_cols=["k"], partitions=4, chunk_rows=64, profile="fast")
+    out = read_sorted(chunks, "k", n_ranges=4)
+    rows = out.select("range_id", "k").collect()
+    assert len(rows) == 400
+    nan_rows = [r for r in rows if r["k"] != r["k"]]
+    assert len(nan_rows) == 40
+    last = max(r["range_id"] for r in rows)
+    assert {r["range_id"] for r in nan_rows} == {last}
+    # full content parity, NaN included
+    assert out.drop("range_id").exceptAll(d).count() == 0
+    assert d.exceptAll(out.drop("range_id")).count() == 0
+
+
+def test_read_sorted_refuses_binary_keys(spark):
+    """ADVICE r6 #2: binary zones were written via Python str(bytes)
+    ("b'x'") but the task-side filter casts the Arrow column to utf8
+    ("x") — different encodings, silent misfilter. Refuse instead."""
+    d = spark.range(100).select(
+        F.encode(F.format_string("k%03d", F.col("id")), "utf-8").alias("k"),
+        F.col("id").alias("v"),
+    )
+    chunks = encode_partitions(
+        d, sort_cols=["k"], partitions=2, chunk_rows=32, profile="fast")
+    with pytest.raises(ValueError, match="binary"):
+        read_sorted(chunks, "k", n_ranges=2)
