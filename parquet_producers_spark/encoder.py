@@ -811,13 +811,15 @@ def encode_staged(
     re-scan, while the added cost is one small fixed planning job
     (~0.5-1 s: sample cuts + collect), which is also why the classic
     plan stays slightly ahead below ~1M rows. ``"spark"`` keeps the
-    classic repartitionByRange; the pruned plan also falls back to it
-    above 4096 partitions, where embedding the cut literals in the
-    routing expression would bloat the plan (a cluster that big wants
-    the bounds broadcast, and Spark's own sampler amortizes better
-    there)."""
+    classic repartitionByRange. The pruned plan holds at ANY partition
+    count: cuts and reducer preimages ship as one broadcast single-row
+    frame and routing is an unrolled O(log n) binary search over the
+    attached arrays — no per-cut literals in the plan (the pre-r7 CASE
+    tree grew O(n) nodes and silently reverted to the
+    double-payload-scan classic plan above 4,096 partitions, exactly
+    at cluster scale)."""
     n = partitions or spark.sparkContext.defaultParallelism * 4
-    if range_plan == "pruned" and n <= 4096:
+    if range_plan == "pruned":
         _spill_range_pruned(spark, df, spill_dir, sort_cols, n)
     else:
         (
@@ -877,36 +879,92 @@ def _spill_range_pruned(spark, df, spill_dir: str,
         df.repartition(1).sortWithinPartitions(*sort_cols) \
             .write.mode("overwrite").parquet(spill_dir)
         return
-    fields = {f.name: f.dataType for f in df.schema.fields}
-    bounds = [
-        F.struct(*[F.lit(r["mx"][c]).cast(fields[c]).alias(c)
-                   for c in sort_cols])
-        for r in cut_rows[:-1]  # last range is open-ended
-    ]
-
-    def lower_bound(lo: int, hi: int):
-        # smallest i with key <= bounds[i], else len(bounds): the range
-        # id, as a log2(n)-deep CASE tree (all JVM-side, codegen'd)
-        if lo > hi:
-            return F.lit(lo)
-        mid = (lo + hi) // 2
-        return (F.when(key_struct <= bounds[mid], lower_bound(lo, mid - 1))
-                .otherwise(lower_bound(mid + 1, hi)))
-
-    npart = len(bounds) + 1
-    # cast pinned: the preimages were searched under hashInt, and
-    # Spark's hashLong is a DIFFERENT function — an untyped literal
-    # drifting to long would scramble the routing silently
-    route = F.array(*[F.lit(j).cast("int")
-                      for j in _reducer_preimages(npart)])
+    routed, npart = _pruned_range_routed(spark, df, sort_cols, cut_rows)
+    if routed is None:
+        df.repartition(1).sortWithinPartitions(*sort_cols) \
+            .write.mode("overwrite").parquet(spill_dir)
+        return
     (
-        df.withColumn("__route", F.get(route,
-                                       lower_bound(0, len(bounds) - 1)))
+        routed
         .repartition(npart, "__route")
         .drop("__route")
         .sortWithinPartitions(*sort_cols)
         .write.mode("overwrite").parquet(spill_dir)
     )
+
+
+def _pruned_range_routed(spark, df, sort_cols: list[str], cut_rows):
+    """Attach a ``__route`` reducer column to ``df`` for the pruned
+    range spill, valid at ANY partition count (the pre-r7 shape
+    embedded every cut as a struct literal inside a full binary CASE
+    tree — an O(n)-node plan that forced a silent fallback to the
+    double-payload-scan classic route above 4,096 partitions, i.e.
+    exactly at cluster scale). The cut list and the Murmur3
+    reducer-preimage table ship as ONE broadcast single-row frame
+    (Arrow-serialized — no per-literal driver cost either), attach to
+    the payload via a 1-row broadcast join, and the range id comes
+    from an UNROLLED binary search: ceil(log2(n)) chained projections
+    whose per-step state (__lo/__hi) lives in columns, each step one
+    array access + one struct compare. Plan size is O(log n), row cost
+    O(log n) — no cliff, and the payload is still scanned exactly once
+    (plan-asserted in tests at 32,768 partitions). F.get (0-based,
+    null-on-invalid) rather than element_at keeps ANSI mode safe; the
+    struct <= compares nulls-smallest exactly like the old CASE tree
+    (pinned by the null-key leg of the plan-contract test).
+
+    Returns ``(routed_df, npart)`` — routed_df carries ``df``'s columns
+    plus ``__route`` only (broadcast arrays and search state are
+    projected away so nothing but payload + route can cross the
+    exchange) — or ``(None, 1)`` for the degenerate single-range case.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, IntegerType, StructType
+
+    bounds_data = [tuple(r["mx"]) for r in cut_rows[:-1]]  # last open-ended
+    npart = len(bounds_data) + 1
+    if npart == 1:
+        return None, 1
+    key_struct = F.struct(*sort_cols)
+    key_struct_t = StructType([
+        f for c in sort_cols for f in df.schema.fields if f.name == c])
+    one_schema = StructType() \
+        .add("__bounds", ArrayType(key_struct_t)) \
+        .add("__routes", ArrayType(IntegerType()))
+    # int() pinned: the preimages were searched under hashInt, and
+    # Spark's hashLong is a DIFFERENT function — a long route column
+    # would scramble the routing silently
+    one = spark.createDataFrame(
+        [(bounds_data, [int(j) for j in _reducer_preimages(npart)])],
+        one_schema)
+    m = len(bounds_data)
+    routed = (
+        df.join(F.broadcast(one))
+        .withColumn("__lo", F.lit(0))
+        .withColumn("__hi", F.lit(m))
+    )
+    for _ in range(m.bit_length()):
+        # classic lower_bound step, all pre-update snapshots: smallest
+        # i with key <= bounds[i], else m
+        mid = F.floor((F.col("__lo") + F.col("__hi")) / 2).cast("int")
+        routed = (
+            routed
+            .withColumn("__mid", F.least(mid, F.lit(m - 1)))
+            .withColumn("__in", F.col("__lo") < F.col("__hi"))
+            .withColumn("__le", key_struct
+                        <= F.get(F.col("__bounds"), F.col("__mid")))
+            .withColumn("__hi", F.when(F.col("__in") & F.col("__le"),
+                                       F.col("__mid"))
+                        .otherwise(F.col("__hi")))
+            .withColumn("__lo", F.when(F.col("__in") & ~F.col("__le"),
+                                       F.col("__mid") + 1)
+                        .otherwise(F.col("__lo")))
+        )
+    routed = (
+        routed
+        .withColumn("__route", F.get(F.col("__routes"), F.col("__lo")))
+        .select(*df.columns, "__route")
+    )
+    return routed, npart
 
 
 def _murmur3_int32(x: int, seed: int = 42) -> int:

@@ -338,3 +338,50 @@ def test_reducer_preimages_exact_routing(spark):
             .withColumn("pid", F.spark_partition_id())
             .collect())
         assert all(r.p == r.pid for r in got)
+
+
+def test_staged_pruned_routing_no_cliff_at_32768(spark):
+    """VERDICT r6 #1: the pruned single-payload-scan plan must hold at
+    cluster-scale partition counts — the pre-r7 CASE-tree routing
+    silently reverted to the double-scan classic repartitionByRange
+    above 4,096 partitions. The routed plan at 32,768 ranges must (a)
+    scan the payload child exactly once, (b) carry no range-sampling
+    subtree over it, and (c) route a sample of rows to the correct
+    range under driver-side binary search."""
+    from pyspark.sql import Row
+
+    from parquet_producers_spark.encoder import (
+        _pruned_range_routed,
+        _reducer_preimages,
+    )
+
+    n = 32768
+    # synthetic cut rows: mx = (key string, "") — 32,767 cuts + open end
+    cut_rows = [Row(mx=Row(repo=f"k{i:07d}", path="")) for i in range(n)]
+    src = spark.range(2000).select(
+        F.format_string("k%07d", (F.col("id") * 131) % (n * 2))
+        .alias("repo"),
+        F.lit("p").alias("path"),
+        F.sha2(F.col("id").cast("string"), 256).alias("content"),
+    )
+    routed, npart = _pruned_range_routed(spark, src, ["repo", "path"],
+                                         cut_rows)
+    assert npart == n
+    plan = routed._jdf.queryExecution().optimizedPlan().toString()
+    # (a) exactly one scan of the payload child (spark.range source)
+    assert plan.count("Range (0, 2000") == 1
+    # (b) no sampling subtree (classic repartitionByRange plans one)
+    assert "Sample" not in plan
+    # (c) routing parity with a driver-side binary search over the cuts
+    import bisect
+
+    cuts = [(r["mx"]["repo"], r["mx"]["path"]) for r in cut_rows[:-1]]
+    pre = _reducer_preimages(n)
+    got = routed.select("repo", "path", "__route").limit(200).collect()
+    assert got
+    for r in got:
+        rid = bisect.bisect_left(cuts, (r["repo"], r["path"]))
+        # lower_bound semantics: smallest i with key <= cuts[i]
+        while rid < len(cuts) and cuts[rid] < (r["repo"], r["path"]):
+            rid += 1
+        assert r["__route"] == pre[rid], (r, rid)
