@@ -97,6 +97,15 @@ def _zone_sql_type(key_spark_type: str) -> str | None:
     return None
 
 
+def _chunk_tiebreak(ident: list[str]):
+    """Deterministic per-chunk tiebreak: ``xxhash64`` over the chunk
+    identity columns. Shared by the planner's composite cuts and
+    read_sorted's assignment + bound filters (they MUST agree). A hash
+    collision between two equal-key_min chunks only keeps them in the
+    same range — never a correctness issue."""
+    return F.xxhash64(*[F.col(c) for c in ident])
+
+
 def _key_nulls_col():
     # written by every keyed encode (encoder._encode_chunk) onto each
     # column row's params; absent (keyless/legacy store) reads as 0
@@ -109,6 +118,7 @@ def plan_key_ranges(
     n_ranges: int | None = None,
     key_type: str | None = None,
     plan_collect_threshold: int = PLAN_COLLECT_THRESHOLD,
+    tiebreak: bool = False,
 ) -> list[tuple]:
     """Cut the key space into ``n_ranges`` half-open ranges ``[lo, hi)``
     (``None`` = unbounded) from the chunk table's zone maps — cut
@@ -127,7 +137,18 @@ def plan_key_ranges(
     only the first zone boundary of each bucket (≤ R values) is
     collected. The same wall the manifest tree and distributed
     diff/vacuum removed: never hold one row per planned object on the
-    driver."""
+    driver.
+
+    ``tiebreak=True`` (hot-key skew defense, guide §2.5 — a single key
+    holding a large fraction of rows must not become one undivided
+    straggler/OOM task): every cut carries a deterministic per-chunk
+    tiebreak (``xxhash64`` over the chunk identity, the same expression
+    :func:`read_sorted` attaches to chunk rows), and bounds become
+    ``(key, tb)`` pairs compared lexicographically AT CHUNK GRANULARITY
+    — chunks with equal ``key_min`` can land in adjacent ranges, so a
+    hot key spanning many chunks splits across ranges while global
+    KEY order is untouched (equal keys carry no order contract). The
+    default (scalar cuts) is unchanged."""
     global LAST_PLAN_COLLECTED
     spark = chunks.sparkSession
     ident = _ident_cols(chunks)
@@ -139,6 +160,10 @@ def plan_key_ranges(
              F.first("key_min").isNotNull().alias("zoned"),
              F.first("n_rows").alias("rows"),
              F.max(_key_nulls_col()).alias("knulls"))
+        # the chunk tiebreak MUST be the same expression read_sorted
+        # attaches to chunk rows (_chunk_tiebreak), or plan bounds and
+        # assignment would disagree
+        .withColumn("tb", _chunk_tiebreak(ident))
         # planning runs 1-2 jobs over this frame; pin it so an
         # encode-in-plan upstream computes once, not per job
         .localCheckpoint(eager=False)
@@ -195,13 +220,16 @@ def plan_key_ranges(
         return float("inf") if _is_nan(v) else v
 
     if int(head["n"]) <= plan_collect_threshold:
-        rows = zones.select("mn", "mx", "rows").collect()
+        rows = zones.select("mn", "mx", "rows", "tb").collect()
         LAST_PLAN_COLLECTED += len(rows)
         # nulls (all-null-key chunks) order first — they live in the
-        # first range, so their weight fronts the cumulative sum
+        # first range, so their weight fronts the cumulative sum. With
+        # tiebreak the walk orders equal-key chunks by tb, matching the
+        # composite bound comparisons in read_sorted.
         rows = sorted(rows, key=lambda z: ((z["mn"] is not None),
                                            _ord(z["mn"]) if z["mn"] is not None
                                            else 0,
+                                           z["tb"] if tiebreak else 0,
                                            _ord(z["mx"]) if z["mx"] is not None
                                            else 0))
         cuts, cum, seen = [], 0, set()
@@ -210,12 +238,15 @@ def plan_key_ranges(
             if (k >= 1 and k not in seen and z["mn"] is not None
                     and not _is_nan(z["mn"])):
                 seen.add(k)
-                cuts.append(z["mn"])
+                cuts.append((z["mn"], z["tb"]) if tiebreak else z["mn"])
             cum += z["rows"]
     else:
         from pyspark.sql import Window
 
         order = [F.col("mn").asc_nulls_first(), F.col("mx").asc_nulls_first()]
+        if tiebreak:
+            order = [F.col("mn").asc_nulls_first(), F.col("tb").asc(),
+                     F.col("mx").asc_nulls_first()]
         part = (zones.repartitionByRange(
                     int(spark.conf.get("spark.sql.shuffle.partitions")),
                     *order)
@@ -239,15 +270,18 @@ def plan_key_ranges(
         if (cast_t or "").lower() in ("double", "float", "real"):
             # NaN must never become a cut (see driver path above)
             cuttable = cuttable & ~F.isnan(F.col("mn"))
+        cut_expr = (F.min(F.struct(F.col("mn"), F.col("tb"))).alias("cut")
+                    if tiebreak else F.min("mn").alias("cut"))
         cut_rows = (
             part.join(F.broadcast(odf), "pid")
             .withColumn("k", F.floor(cum_excl / F.lit(step)))
             .filter((F.col("k") >= 1) & cuttable)
-            .groupBy("k").agg(F.min("mn").alias("cut"))
+            .groupBy("k").agg(cut_expr)
             .collect()
         )
         LAST_PLAN_COLLECTED += len(cut_rows)
-        cuts = [c["cut"] for c in cut_rows]
+        cuts = [tuple(c["cut"]) if tiebreak else c["cut"]
+                for c in cut_rows]
 
     cuts = sorted(set(cuts))
     bounds = [None] + cuts + [None]
@@ -318,7 +352,12 @@ def read_sorted(
     zone_t = _zone_sql_type(_spark_type(key_arrow))
     # zone_t None → string comparison (identical plan; the decode task
     # casts the key to string for the exact bound filter)
-    ranges = plan_key_ranges(meta, n_ranges, key_type=zone_t)
+    # tiebreak cuts (hot-key skew defense): bounds are (key, chunk-tb)
+    # pairs, so one key spanning many chunks can split across adjacent
+    # ranges — global KEY order is unaffected (equal keys carry no
+    # order contract), and every row still lands in exactly one range
+    ranges = plan_key_ranges(meta, n_ranges, key_type=zone_t,
+                             tiebreak=True)
     ident = _ident_cols(chunks)
 
     # assignment = broadcast theta-join of the chunk rows against the
@@ -328,15 +367,28 @@ def read_sorted(
     # first range too: that's where their null rows land.
     lohi_t = zone_t or "string"
     rdf = spark.createDataFrame(
-        [(i, r[0], r[1]) for i, r in enumerate(ranges)],
-        schema=f"range_id int, lo {lohi_t}, hi {lohi_t}")
+        [(i,
+          r[0][0] if r[0] is not None else None,
+          r[0][1] if r[0] is not None else None,
+          r[1][0] if r[1] is not None else None,
+          r[1][1] if r[1] is not None else None)
+         for i, r in enumerate(ranges)],
+        schema=(f"range_id int, lo {lohi_t}, lo_tb long,"
+                f" hi {lohi_t}, hi_tb long"))
     kmin = F.col("key_min").cast(lohi_t)
     kmax = F.col("key_max").cast(lohi_t)
-    overlap = (
-        kmin.isNotNull()
-        & (F.col("lo").isNull() | (kmax >= F.col("lo")))
-        & (F.col("hi").isNull() | (kmin < F.col("hi")))
-    )
+    tb = F.col("__tb")
+    # composite (key, tb) half-open overlap at chunk granularity: the
+    # chunk's span is [(key_min, tb), (key_max, tb)] — tb is constant
+    # per chunk, so the lexicographic compares reduce to one extra
+    # equality leg per bound
+    ge_lo = (F.col("lo").isNull()
+             | (kmax > F.col("lo"))
+             | ((kmax == F.col("lo")) & (tb >= F.col("lo_tb"))))
+    lt_hi = (F.col("hi").isNull()
+             | (kmin < F.col("hi"))
+             | ((kmin == F.col("hi")) & (tb < F.col("hi_tb"))))
+    overlap = kmin.isNotNull() & ge_lo & lt_hi
     null_leg = F.col("lo").isNull() & (_key_nulls_col() > 0)
     from .encoder import _reducer_preimages
 
@@ -355,7 +407,8 @@ def read_sorted(
     route = F.array(*[F.lit(int(j)).cast("int")
                       for j in _reducer_preimages(npart)])
     fat = (
-        chunks.join(F.broadcast(rdf), overlap | null_leg, "inner")
+        chunks.withColumn("__tb", _chunk_tiebreak(ident))
+        .join(F.broadcast(rdf), overlap | null_leg, "inner")
         .withColumn("__route", F.get(route, F.col("range_id")))
         .repartition(npart, "__route")
     )
@@ -386,20 +439,26 @@ def read_sorted(
         def _py(v):
             return v.as_py() if hasattr(v, "as_py") else v
 
-        # gkey = (__route, range_id, lo, hi)
-        rid, lo, hi = int(_py(gkey[1])), _py(gkey[2]), _py(gkey[3])
+        # gkey = (__route, range_id, lo, lo_tb, hi, hi_tb)
+        rid = int(_py(gkey[1]))
+        lo, lo_tb = _py(gkey[2]), _py(gkey[3])
+        hi, hi_tb = _py(gkey[4]), _py(gkey[5])
         # group the ≤ (chunks × columns) METADATA rows by chunk ident —
         # the loop never touches data rows
         ident_cols = [tin.column(c) for c in ident]
+        tbc = tin.column("__tb")
         by_chunk: dict[tuple, list[int]] = {}
+        chunk_tb: dict[tuple, int] = {}
         for i in range(tin.num_rows):
-            by_chunk.setdefault(
-                tuple(_py(c[i]) for c in ident_cols), []).append(i)
+            ck = tuple(_py(c[i]) for c in ident_cols)
+            by_chunk.setdefault(ck, []).append(i)
+            chunk_tb[ck] = _py(tbc[i])
         colc, datac, parc = (tin.column("column"), tin.column("data"),
                              tin.column("params"))
         cmp_t = pa.string() if as_string else key_arrow
         tables = []
-        for rows in by_chunk.values():
+        for ck, rows in by_chunk.items():
+            ctb = chunk_tb[ck]
             arrays = {
                 _py(colc[i]): decode_array(
                     _py(datac[i]), json.loads(_py(parc[i])))
@@ -410,25 +469,40 @@ def read_sorted(
             ks = tbl.column(key)
             if as_string:
                 ks = pc.cast(ks, pa.string())
-            # exact half-open bounds under the key's type; null keys
-            # survive ONLY in the first (lo=None) range — a bounded
-            # range's >= comparison nulls them out and Arrow's filter
-            # drops null-mask rows, deterministically at every n_ranges.
-            # NaN keys survive ONLY in the last (hi=None) range: Spark
-            # orders NaN above every double, but Arrow's >= is IEEE
-            # (NaN >= lo is false), so without the explicit is_nan leg
-            # every NaN-keyed row silently vanished at n_ranges > 1
+            # exact half-open bounds under the key's type, at composite
+            # (key, chunk-tb) granularity: a bound (K, T) splits rows
+            # with key == K by the CHUNK's tiebreak (constant per
+            # chunk, so the lexicographic compare reduces to >= vs >
+            # and <= vs < per bound) — what lets a hot key span
+            # adjacent ranges. Null keys survive ONLY in the first
+            # (lo=None) range — a bounded range's comparison nulls them
+            # out and Arrow's filter drops null-mask rows,
+            # deterministically at every n_ranges. NaN keys survive
+            # ONLY in the last (hi=None) range: Spark orders NaN above
+            # every double, but Arrow's >= is IEEE (NaN >= lo is
+            # false), so without the explicit is_nan leg every
+            # NaN-keyed row silently vanished at n_ranges > 1
             # (ADVICE r6 #1).
+            def below_hi():
+                # row below cut (hk, ht) iff key < hk, or key == hk
+                # and the chunk's tb < ht
+                if ctb < hi_tb:
+                    return pc.less_equal(ks, pa.scalar(hi, cmp_t))
+                return pc.less(ks, pa.scalar(hi, cmp_t))
+
             if lo is not None:
-                mask = pc.greater_equal(ks, pa.scalar(lo, cmp_t))
+                if ctb >= lo_tb:
+                    mask = pc.greater_equal(ks, pa.scalar(lo, cmp_t))
+                else:
+                    mask = pc.greater(ks, pa.scalar(lo, cmp_t))
                 if hi is not None:
-                    mask = pc.and_(mask, pc.less(ks, pa.scalar(hi, cmp_t)))
+                    mask = pc.and_(mask, below_hi())
                 elif pa.types.is_floating(cmp_t):
                     mask = pc.or_kleene(mask, pc.is_nan(ks))
                 tbl = tbl.filter(mask)
             elif hi is not None:
                 tbl = tbl.filter(pc.or_kleene(
-                    pc.is_null(ks), pc.less(ks, pa.scalar(hi, cmp_t))))
+                    pc.is_null(ks), below_hi()))
             if tbl.num_rows:
                 tables.append(tbl)
         data = (pa.concat_tables(tables) if tables
@@ -438,8 +512,8 @@ def read_sorted(
         tbl = pa.table(cols, schema=out_schema)
         return tbl if out_schema == out_emit else tbl.cast(out_emit)
 
-    out = fat.groupBy("__route", "range_id", "lo", "hi").applyInArrow(
-        dec, schema=spark_schema)
+    out = fat.groupBy("__route", "range_id", "lo", "lo_tb",
+                      "hi", "hi_tb").applyInArrow(dec, schema=spark_schema)
     # partition-local sort, NO exchange: every range is whole inside
     # its group's partition, so (range_id, key) order within partitions
     # + range tiling = global key order across ranges in id order

@@ -340,3 +340,40 @@ def test_read_sorted_refuses_binary_keys(spark):
         d, sort_cols=["k"], partitions=2, chunk_rows=32, profile="fast")
     with pytest.raises(ValueError, match="binary"):
         read_sorted(chunks, "k", n_ranges=2)
+
+
+def test_read_sorted_hot_key_splits_across_ranges(spark):
+    """VERDICT r6 #3 (guide §2.5): one key holding 50% of all rows must
+    NOT decode as one undivided straggler task. Composite (key,
+    chunk-tiebreak) cuts split the hot key across >1 adjacent range,
+    ranges stay balanced within 2× of the mean, global key order and
+    full content parity hold."""
+    n = 4000
+    d = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit("hotkey"))
+        .otherwise(F.format_string("z%06d", F.col("id"))).alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("v"))
+    chunks = encode_partitions(
+        d, sort_cols=["k"], partitions=4, chunk_rows=128, profile="fast")
+    out = read_sorted(chunks, "k", n_ranges=8)
+    rows = out.select("range_id", "k").collect()
+    assert len(rows) == n
+    # the hot key spans more than one range
+    hot_rids = {r["range_id"] for r in rows if r["k"] == "hotkey"}
+    assert len(hot_rids) > 1, "hot key decoded as a single range"
+    # balance: no range holds more than 2x the mean
+    from collections import Counter
+
+    per_range = Counter(r["range_id"] for r in rows)
+    mean = n / len(per_range)
+    assert max(per_range.values()) <= 2 * mean, dict(per_range)
+    # ranges still tile the key space (equal keys may share boundaries)
+    spans = {}
+    for r in rows:
+        lo, hi = spans.get(r["range_id"], (r["k"], r["k"]))
+        spans[r["range_id"]] = (min(lo, r["k"]), max(hi, r["k"]))
+    rids = sorted(spans)
+    assert all(spans[a][1] <= spans[b][0] for a, b in zip(rids, rids[1:]))
+    # full content parity
+    assert (out.drop("range_id").exceptAll(d).count() == 0
+            and d.exceptAll(out.drop("range_id")).count() == 0)
