@@ -296,24 +296,62 @@ def lsh_candidate_pairs(
 
 def simhash(df: DataFrame, text_col: str = "text",
             bits: int = SIMHASH_BITS) -> DataFrame:
-    """(doc_id, simhash) — B-bit signature from distinct-token hashes."""
-    toks = df.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
-    ).filter(F.length("tok") > 0)
-    toks = toks.withColumn("th", portable_hash64(F.col("tok"), 99))
-    bit_sums = toks.groupBy("doc_id").agg(*[
-        F.sum(
-            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1,
-                   1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(bits)
-    ])
-    sig = None
-    for b in range(bits):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
-    return bit_sums.select("doc_id", sig.cast("bigint").alias("simhash"))
+    """(doc_id, simhash) — B-bit signature from distinct-token hashes.
+
+    Fused Arrow-batched kernel, same shape (and same rationale) as
+    :func:`minhash_signatures`: token split, the portable md5 hash and
+    the per-bit ±1 sums all happen in ONE ``mapInArrow`` pass — the
+    former explode + groupBy shipped one row per distinct token through
+    an Exchange for a value that depends only on the doc's own text
+    (guide §2.4). Hash values are bit-identical to
+    :func:`text.portable_hash64` (seed 99, UTF-8); a per-task cache
+    hashes each distinct token once (guide §4.5). Docs with no
+    non-empty tokens emit no row, exactly like the former groupBy
+    (its explode left no surviving token rows); ±1 sums are integer
+    addition, so set-iteration order cannot change the signature."""
+    import pyarrow as pa
+
+    id_type = df.schema["doc_id"].dataType.simpleString()
+    seed_tail = b"#99"
+
+    def gen(batches):
+        import hashlib
+
+        cache: dict[str, int] = {}
+        for b in batches:
+            ids_out: list = []
+            sigs_out: list = []
+            for did, txt in zip(b.column("doc_id").to_pylist(),
+                                b.column(text_col).to_pylist()):
+                if txt is None:
+                    continue
+                toks = {t for t in txt.split(" ") if t}
+                if not toks:
+                    continue
+                sums = [0] * bits
+                for t in toks:
+                    th = cache.get(t)
+                    if th is None:
+                        th = int(hashlib.md5(
+                            t.encode() + seed_tail).hexdigest()[:15], 16)
+                        if len(cache) > 4_000_000:  # bound task memory
+                            cache.clear()
+                        cache[t] = th
+                    for bit in range(bits):
+                        sums[bit] += 1 if (th >> bit) & 1 else -1
+                sig = 0
+                for bit in range(bits):
+                    if sums[bit] > 0:
+                        sig |= 1 << bit
+                ids_out.append(did)
+                sigs_out.append(sig)
+            yield pa.record_batch(
+                [pa.array(ids_out, b.column("doc_id").type),
+                 pa.array(sigs_out, pa.int64())],
+                names=["doc_id", "simhash"])
+
+    return df.select("doc_id", text_col).mapInArrow(
+        gen, f"doc_id {id_type}, simhash long")
 
 
 def _simhash_segments(bits: int, max_hamming: int) -> list[tuple[int, int]]:
