@@ -355,7 +355,19 @@ def read_sorted(
     # tiebreak cuts (hot-key skew defense): bounds are (key, chunk-tb)
     # pairs, so one key spanning many chunks can split across adjacent
     # ranges — global KEY order is unaffected (equal keys carry no
-    # order contract), and every row still lands in exactly one range
+    # order contract), and every row still lands in exactly one range.
+    #
+    # ASSIGNMENT COST BUDGET (documented bound): the broadcast
+    # theta-join below evaluates R range predicates per chunk-COLUMN
+    # row, i.e. O(chunk_rows × R) cheap comparisons. That is the right
+    # trade while R tracks the task budget (R ≈ shuffle partitions or a
+    # small multiple — the only regime n_ranges is sized for, since one
+    # range decodes inside one task): at 10^8 chunk rows × 10^3 ranges
+    # it is 10^11 codegen'd compares spread over the cluster, a minor
+    # term next to decode. Plans wanting R ≫ 10^4 should consolidate
+    # chunks first (compaction) rather than widen this join — zones and
+    # ranges are both sorted, so a sort-merge interval join is the
+    # known upgrade path if that regime ever becomes real.
     ranges = plan_key_ranges(meta, n_ranges, key_type=zone_t,
                              tiebreak=True)
     ident = _ident_cols(chunks)
